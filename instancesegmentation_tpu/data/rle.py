@@ -1,0 +1,212 @@
+"""COCO run-length-encoded (RLE) mask codec + polygon rasterization.
+
+Drop-in replacement for the pycocotools C `mask` module surface the
+reference uses (encode/decode/area/annToMask — e.g.
+/root/reference/inst_model/yolact/utils/utils_map.py:34,
+.../annotation/train_utils/coco_utils.py:44-57). Wire format matches the
+COCO spec exactly:
+
+* counts are run lengths of alternating 0/1 pixels in COLUMN-MAJOR
+  (Fortran) order, starting with zeros;
+* the compressed string packs each count LEB128-style in 6-bit chunks
+  (char = 48 + chunk, continuation bit 0x20), with counts[i] delta-encoded
+  against counts[i-2] for i >= 2.
+
+A C++ fast path (native/librle.so, built from native/rle.cc) is used when
+present; the numpy implementation is the always-available fallback and the
+golden reference in tests.
+"""
+
+from __future__ import annotations
+
+import ctypes
+import os
+from typing import Dict, List, Optional, Sequence, Union
+
+import numpy as np
+
+_NATIVE: Optional[ctypes.CDLL] = None
+
+
+def _load_native() -> Optional[ctypes.CDLL]:
+    global _NATIVE
+    if _NATIVE is not None:
+        return _NATIVE
+    path = os.path.join(os.path.dirname(__file__), "..", "..", "native", "librle.so")
+    path = os.path.abspath(path)
+    if os.path.exists(path):
+        try:
+            lib = ctypes.CDLL(path)
+            lib.rle_encode.restype = ctypes.c_int
+            lib.rle_encode.argtypes = [
+                ctypes.POINTER(ctypes.c_uint8), ctypes.c_int, ctypes.c_int,
+                ctypes.c_char_p, ctypes.c_int]
+            lib.rle_decode.restype = ctypes.c_int
+            lib.rle_decode.argtypes = [
+                ctypes.c_char_p, ctypes.c_int, ctypes.c_int,
+                ctypes.POINTER(ctypes.c_uint8)]
+            _NATIVE = lib
+        except OSError:
+            _NATIVE = None
+    return _NATIVE
+
+
+# ---------------------------------------------------------------------------
+# counts <-> compressed string
+# ---------------------------------------------------------------------------
+
+def counts_to_string(counts: Sequence[int]) -> str:
+    out = []
+    prev2 = [0, 0]
+    for i, c in enumerate(counts):
+        x = int(c)
+        if i >= 2:
+            x -= int(counts[i - 2])
+        # signed LEB128, 6-bit chunks
+        more = True
+        while more:
+            chunk = x & 0x1F
+            x >>= 5
+            # sign-aware continuation: more if remaining bits disagree w/ sign bit
+            more = not ((x == 0 and not (chunk & 0x10)) or (x == -1 and (chunk & 0x10)))
+            if more:
+                chunk |= 0x20
+            out.append(chr(chunk + 48))
+        _ = prev2
+    return "".join(out)
+
+
+def string_to_counts(s: Union[str, bytes]) -> List[int]:
+    if isinstance(s, bytes):
+        s = s.decode("ascii")
+    counts: List[int] = []
+    i = 0
+    n = len(s)
+    while i < n:
+        x = 0
+        k = 0
+        more = True
+        while more:
+            c = ord(s[i]) - 48
+            x |= (c & 0x1F) << (5 * k)
+            more = bool(c & 0x20)
+            i += 1
+            if not more and (c & 0x10):
+                x |= -1 << (5 * (k + 1))      # sign extend
+            k += 1
+        if len(counts) >= 2:
+            x += counts[-2]
+        counts.append(x)
+    return counts
+
+
+# ---------------------------------------------------------------------------
+# mask <-> RLE
+# ---------------------------------------------------------------------------
+
+def encode(mask: np.ndarray) -> Dict:
+    """Binary (H, W) mask -> COCO compressed RLE dict."""
+    mask = np.ascontiguousarray(mask, dtype=np.uint8)
+    h, w = mask.shape
+    lib = _load_native()
+    if lib is not None:
+        buf = ctypes.create_string_buffer(h * w * 6 + 64)
+        n = lib.rle_encode(mask.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+                           h, w, buf, len(buf))
+        if n >= 0:
+            return {"size": [h, w], "counts": buf.raw[:n].decode("ascii")}
+    flat = mask.flatten(order="F")
+    # run lengths of alternating values starting with zeros
+    change = np.nonzero(np.diff(flat))[0] + 1
+    idx = np.concatenate([[0], change, [flat.size]])
+    counts = np.diff(idx).tolist()
+    if flat.size and flat[0] == 1:
+        counts = [0] + counts
+    if not flat.size:
+        counts = [0]
+    return {"size": [h, w], "counts": counts_to_string(counts)}
+
+
+def decode(rle: Dict) -> np.ndarray:
+    """COCO RLE dict (compressed string or raw count list) -> (H, W) uint8."""
+    h, w = rle["size"]
+    counts = rle["counts"]
+    if isinstance(counts, (str, bytes)):
+        lib = _load_native()
+        if lib is not None and isinstance(counts, str):
+            out = np.zeros(h * w, dtype=np.uint8)
+            ok = lib.rle_decode(counts.encode("ascii"), h, w,
+                                out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)))
+            if ok == 0:
+                return out.reshape((w, h)).T  # column-major
+        counts = string_to_counts(counts)
+    counts = np.asarray(counts, dtype=np.int64)
+    vals = np.zeros(len(counts), dtype=np.uint8)
+    vals[1::2] = 1
+    flat = np.repeat(vals, counts)
+    if flat.size != h * w:          # tolerate truncated/padded counts
+        flat = np.resize(flat, h * w)
+    return flat.reshape((h, w), order="F")
+
+
+def area(rle: Dict) -> int:
+    counts = rle["counts"]
+    if isinstance(counts, (str, bytes)):
+        counts = string_to_counts(counts)
+    return int(sum(counts[1::2]))
+
+
+def iou_rle(dt: List[Dict], gt: List[Dict], iscrowd: Sequence[int]) -> np.ndarray:
+    """Pairwise mask IoU (crowd gt: intersection / area(dt)), numpy.
+
+    Matches pycocotools.mask.iou semantics for the eval path.
+    """
+    if not dt or not gt:
+        return np.zeros((len(dt), len(gt)))
+    dmasks = np.stack([decode(d).reshape(-1) for d in dt]).astype(np.float64)
+    gmasks = np.stack([decode(g).reshape(-1) for g in gt]).astype(np.float64)
+    inter = dmasks @ gmasks.T
+    darea = dmasks.sum(1)[:, None]
+    garea = gmasks.sum(1)[None, :]
+    union = darea + garea - inter
+    crowd = np.asarray(iscrowd, bool)[None, :]
+    denom = np.where(crowd, darea, union)
+    with np.errstate(divide="ignore", invalid="ignore"):
+        out = np.where(denom > 0, inter / denom, 0.0)
+    return out
+
+
+# ---------------------------------------------------------------------------
+# polygons / annToMask
+# ---------------------------------------------------------------------------
+
+def polygons_to_mask(polygons: Sequence[Sequence[float]], h: int, w: int) -> np.ndarray:
+    """Rasterize COCO polygon segmentation -> (H, W) uint8.
+
+    Uses cv2.fillPoly; pixel-boundary conventions differ from pycocotools'
+    scanline fill by at most the border pixels (documented deviation; gt
+    and eval use the same rasterizer in this framework, so it is
+    self-consistent).
+    """
+    import cv2
+    mask = np.zeros((h, w), dtype=np.uint8)
+    pts = [np.asarray(p, dtype=np.float64).reshape(-1, 2).round().astype(np.int32)
+           for p in polygons if len(p) >= 6]
+    if pts:
+        cv2.fillPoly(mask, pts, 1)
+    return mask
+
+
+def ann_to_mask(ann: Dict, h: int, w: int) -> np.ndarray:
+    """pycocotools COCO.annToMask equivalent for all 3 segmentation forms."""
+    seg = ann.get("segmentation")
+    if seg is None:
+        return np.zeros((h, w), dtype=np.uint8)
+    if isinstance(seg, list):
+        return polygons_to_mask(seg, h, w)
+    if isinstance(seg, dict):
+        counts = seg.get("counts")
+        if isinstance(counts, list):           # uncompressed RLE
+            return decode({"size": seg["size"], "counts": counts})
+        return decode(seg)
+    raise ValueError(f"unsupported segmentation: {type(seg)}")

@@ -1,0 +1,23 @@
+"""Model families: YOLACT and Mask R-CNN (flax.linen, NHWC, bf16-friendly).
+
+``get_model(cfg)`` mirrors the reference registry
+(/root/reference/models/init_model.py:30-54) by dispatching on the
+config's ``net`` field.
+"""
+
+from __future__ import annotations
+
+
+def get_model(cfg, train_mode: bool = True):
+    """Build the flax module for a config (dispatch on cfg.net)."""
+    if cfg.net == "yolact":
+        from instancesegmentation_tpu.models.yolact.model import Yolact
+        return Yolact(num_classes=cfg.num_classes + 1,
+                      train_mode=train_mode,
+                      dtype=cfg.compute_dtype)
+    if cfg.net == "mask_rcnn":
+        from instancesegmentation_tpu.models.mask_rcnn.model import MaskRCNN
+        return MaskRCNN(num_classes=cfg.num_classes + 1,
+                        train_mode=train_mode,
+                        dtype=cfg.compute_dtype)
+    raise ValueError(f"unknown net: {cfg.net!r}")

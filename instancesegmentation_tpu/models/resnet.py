@@ -1,0 +1,99 @@
+"""ResNet backbones (flax.linen, NHWC).
+
+Replicates the topology of the reference's two ResNet50s:
+* YOLACT backbone — /root/reference/inst_model/yolact/nets/resnet.py
+  (torchvision v1.5-style bottleneck: stride on the 3x3 conv), returning
+  the last three stage features C3/C4/C5.
+* Mask R-CNN backbone — .../Mask_RCNN/net/backbone/resnet50_fpn_model.py
+  (same topology, frozen-BN option, returns C2..C5 for the 4-level FPN).
+
+TPU-first choices: NHWC layout, bf16 compute with f32 params and f32 BN
+statistics, no in-place anything. BatchNorm supports a cross-replica
+``axis_name`` (the TPU equivalent of SyncBatchNorm, trainer.py:121-124).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Any, Optional, Sequence, Tuple
+
+import flax.linen as nn
+import jax.numpy as jnp
+
+ModuleDef = Any
+
+
+class Bottleneck(nn.Module):
+    """1x1 -> 3x3(stride) -> 1x1(x4) with projection shortcut."""
+    planes: int
+    stride: int = 1
+    dtype: Any = jnp.bfloat16
+    norm: ModuleDef = nn.BatchNorm
+
+    @nn.compact
+    def __call__(self, x):
+        residual = x
+        out_ch = self.planes * 4
+
+        y = nn.Conv(self.planes, (1, 1), use_bias=False, dtype=self.dtype,
+                    name="conv1")(x)
+        y = self.norm(name="bn1")(y)
+        y = nn.relu(y)
+        y = nn.Conv(self.planes, (3, 3), strides=(self.stride, self.stride),
+                    padding=1, use_bias=False, dtype=self.dtype, name="conv2")(y)
+        y = self.norm(name="bn2")(y)
+        y = nn.relu(y)
+        y = nn.Conv(out_ch, (1, 1), use_bias=False, dtype=self.dtype,
+                    name="conv3")(y)
+        y = self.norm(name="bn3")(y)
+
+        if self.stride != 1 or x.shape[-1] != out_ch:
+            residual = nn.Conv(out_ch, (1, 1), strides=(self.stride, self.stride),
+                               use_bias=False, dtype=self.dtype, name="down_conv")(x)
+            residual = self.norm(name="down_bn")(residual)
+        return nn.relu(y + residual)
+
+
+class ResNet(nn.Module):
+    """Staged ResNet; returns the features of the stages in ``out_stages``
+    (1-based: stage 1 = C2 ... stage 4 = C5)."""
+    layers: Sequence[int] = (3, 4, 6, 3)
+    out_stages: Sequence[int] = (2, 3, 4)   # yolact: C3, C4, C5
+    dtype: Any = jnp.bfloat16
+    bn_momentum: float = 0.9                # torch momentum 0.1
+    bn_axis_name: Optional[str] = None      # set for cross-replica SyncBN
+
+    @nn.compact
+    def __call__(self, x, train: bool = False) -> Tuple[jnp.ndarray, ...]:
+        norm = partial(nn.BatchNorm, use_running_average=not train,
+                       momentum=self.bn_momentum, epsilon=1e-5,
+                       dtype=self.dtype, param_dtype=jnp.float32,
+                       axis_name=self.bn_axis_name if train else None)
+
+        y = nn.Conv(64, (7, 7), strides=(2, 2), padding=3, use_bias=False,
+                    dtype=self.dtype, name="conv1")(x)
+        y = norm(name="bn1")(y)
+        y = nn.relu(y)
+        y = nn.max_pool(y, (3, 3), strides=(2, 2), padding=((1, 1), (1, 1)))
+
+        outs = []
+        planes = 64
+        for stage_i, blocks in enumerate(self.layers):
+            stride = 1 if stage_i == 0 else 2
+            for block_i in range(blocks):
+                y = Bottleneck(planes, stride if block_i == 0 else 1,
+                               dtype=self.dtype, norm=norm,
+                               name=f"layer{stage_i + 1}_{block_i}")(y)
+            outs.append(y)
+            planes *= 2
+        return tuple(outs[s - 1] for s in self.out_stages)
+
+
+def resnet50_yolact(dtype=jnp.bfloat16, bn_axis_name=None) -> ResNet:
+    return ResNet(layers=(3, 4, 6, 3), out_stages=(2, 3, 4), dtype=dtype,
+                  bn_axis_name=bn_axis_name)
+
+
+def resnet50_rcnn(dtype=jnp.bfloat16, bn_axis_name=None) -> ResNet:
+    return ResNet(layers=(3, 4, 6, 3), out_stages=(1, 2, 3, 4), dtype=dtype,
+                  bn_axis_name=bn_axis_name)

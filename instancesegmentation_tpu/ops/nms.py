@@ -1,0 +1,120 @@
+"""Non-maximum suppression, TPU-native (static shapes, no host sync).
+
+* ``fast_nms`` — YOLACT's matrix-form Fast-NMS
+  (/root/reference/inst_model/yolact/utils/utils_bbox.py:50-100). Already a
+  dense upper-triangular-IoU algorithm, so it maps 1:1 onto the MXU/VPU.
+* ``nms_mask`` — exact sequential NMS (torchvision.ops.nms semantics,
+  .../Mask_RCNN/net/network_files/boxes.py:7-34) expressed as a
+  fixed-iteration ``lax.fori_loop`` over score-sorted candidates.
+* ``batched_nms_mask`` — per-category NMS via the coordinate-offset trick
+  (boxes.py:37-83).
+
+Dynamic "keep lists" become boolean masks + top-k gathers; downstream code
+carries validity masks instead of ragged tensors.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from instancesegmentation_tpu.ops import boxes as box_ops
+
+
+class FastNMSOut(NamedTuple):
+    boxes: jnp.ndarray     # (max_det, 4)
+    scores: jnp.ndarray    # (max_det,)  0 where slot invalid
+    classes: jnp.ndarray   # (max_det,) int32
+    coefs: jnp.ndarray     # (max_det, coef_dim)
+    valid: jnp.ndarray     # (max_det,) bool
+
+
+def fast_nms(boxes: jnp.ndarray, scores: jnp.ndarray, coefs: jnp.ndarray,
+             score_thresh: float, iou_thresh: float,
+             top_k: int = 200, max_detections: int = 100) -> FastNMSOut:
+    """YOLACT Fast-NMS over one image.
+
+    Args:
+      boxes: (A, 4) decoded xyxy (normalized).
+      scores: (A, C) per-class scores, background already stripped.
+      coefs: (A, K) mask coefficients.
+
+    The reference first drops anchors whose max class score <= score_thresh,
+    then per-class sorts. We keep shapes static by zeroing failing anchors'
+    scores instead — identical results because the reference re-filters by
+    ``score > confidence`` after NMS (utils_bbox.py:208-212), which we fold
+    into ``valid``.
+    """
+    a, c = scores.shape
+    keep_anchor = jnp.max(scores, axis=1) > score_thresh          # (A,)
+    cls_scores = jnp.where(keep_anchor[:, None], scores, 0.0).T   # (C, A)
+
+    k = min(top_k, a)
+    top_scores, idx = jax.lax.top_k(cls_scores, k)                # (C, k)
+    top_boxes = boxes[idx.reshape(-1)].reshape(c, k, 4)
+    top_coefs = coefs[idx.reshape(-1)].reshape(c, k, -1)
+
+    iou = box_ops.jaccard(top_boxes, top_boxes)                   # (C, k, k)
+    iou = jnp.triu(iou, k=1)
+    iou_max = jnp.max(iou, axis=1)                                # (C, k)
+    keep = (iou_max <= iou_thresh) & (top_scores > score_thresh)
+
+    flat_scores = jnp.where(keep, top_scores, 0.0).reshape(-1)    # (C*k,)
+    m = min(max_detections, c * k)
+    final_scores, flat_idx = jax.lax.top_k(flat_scores, m)
+    final_boxes = top_boxes.reshape(-1, 4)[flat_idx]
+    final_coefs = top_coefs.reshape(c * k, -1)[flat_idx]
+    final_classes = (flat_idx // k).astype(jnp.int32)
+    valid = final_scores > score_thresh
+    return FastNMSOut(final_boxes, final_scores, final_classes, final_coefs, valid)
+
+
+def nms_mask(boxes: jnp.ndarray, scores: jnp.ndarray,
+             iou_thresh: float, valid: jnp.ndarray | None = None) -> jnp.ndarray:
+    """Exact greedy NMS -> boolean keep mask (same order as input).
+
+    Matches torchvision.ops.nms: iterate candidates in descending score;
+    a box is kept iff not suppressed by an earlier kept box with
+    IoU > iou_thresh. O(N) fixed iterations over an (N,) state vector with
+    an (N, N) IoU matrix computed once — XLA-friendly, no data-dependent
+    shapes. Intended for N <= ~2-4k (post top-k), where the N^2 IoU is cheap.
+    """
+    n = boxes.shape[0]
+    if valid is None:
+        valid = jnp.ones((n,), bool)
+    order = jnp.argsort(-jnp.where(valid, scores, -jnp.inf))
+    sboxes = boxes[order]
+    svalid = valid[order]
+    iou = box_ops.box_iou(sboxes, sboxes)                          # (N, N)
+
+    def body(i, keep):
+        # candidate i survives iff no kept j<i suppresses it
+        suppressed = jnp.any(keep & (jnp.arange(n) < i) & (iou[i] > iou_thresh))
+        return keep.at[i].set(~suppressed & svalid[i])
+
+    keep_sorted = jax.lax.fori_loop(0, n, body, jnp.zeros((n,), bool))
+    return jnp.zeros((n,), bool).at[order].set(keep_sorted)
+
+
+def batched_nms_mask(boxes: jnp.ndarray, scores: jnp.ndarray,
+                     idxs: jnp.ndarray, iou_thresh: float,
+                     valid: jnp.ndarray | None = None) -> jnp.ndarray:
+    """Category-aware NMS via coordinate offsets (boxes.py:37-83)."""
+    if boxes.shape[0] == 0:
+        return jnp.zeros((0,), bool)
+    max_coord = jnp.max(jnp.abs(boxes)) + 1.0
+    offsets = idxs.astype(boxes.dtype) * (max_coord + 1.0)
+    return nms_mask(boxes + offsets[:, None], scores, iou_thresh, valid)
+
+
+def topk_by_mask(scores: jnp.ndarray, keep: jnp.ndarray, k: int):
+    """Select the k highest-scoring kept entries.
+
+    Returns (indices (k,), valid (k,)) — the static-shape idiom replacing
+    the reference's ``boxes[keep][:k]`` dynamic gathers.
+    """
+    masked = jnp.where(keep, scores, -jnp.inf)
+    top, idx = jax.lax.top_k(masked, min(k, scores.shape[0]))
+    return idx, top > -jnp.inf
