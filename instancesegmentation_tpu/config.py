@@ -1,0 +1,179 @@
+"""Frozen-dataclass config system + registry.
+
+Replaces the reference's effectful ``get_opts()`` Namespaces
+(/root/reference/configs/yolact_base.py:13-195,
+configs/mask_rcnn_base.py:13-194): configs here are pure data (no dataset
+I/O, no writer creation at import — SURVEY §3.5's "make this a pure config
++ explicit init"). Knob names/values follow the reference so users can map
+one-to-one; CLI overlays win over config values, as in train.py:28-29.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from dataclasses import dataclass, field
+from typing import Callable, Dict, Optional, Tuple
+
+import jax.numpy as jnp
+
+
+@dataclass(frozen=True)
+class Config:
+    # identity / dispatch
+    name: str = "yolact_base"
+    net: str = "yolact"                    # 'yolact' | 'mask_rcnn'
+    exp_name: str = "voc"                  # dataset: voc | coco | verseg | shape
+
+    # data
+    data_root: str = "./dataset"
+    class_names: Tuple[str, ...] = ()      # resolved from model_data/*.txt when empty
+    classes_path: str = ""
+    input_shape: Tuple[int, int] = (544, 544)
+    max_instances: int = 64                # static pad (reference: ragged)
+    num_workers: int = 4
+
+    # model
+    pretrained: bool = False
+    model_path: str = ""
+    anchors_size: Tuple[float, ...] = (24, 48, 96, 192, 384)  # configs/yolact_base.py:44
+    coef_dim: int = 32
+
+    # two-phase schedule (configs/yolact_base.py:75-83)
+    init_epoch: int = 0
+    freeze_epoch: int = 50
+    unfreeze_epoch: int = 100
+    freeze_batch_size: int = 14
+    unfreeze_batch_size: int = 8
+    freeze_train: bool = True
+
+    # optimization (configs/yolact_base.py:96-131)
+    init_lr: float = 1e-4
+    min_lr_ratio: float = 0.01             # Min_lr = Init_lr * 0.01
+    optimizer_type: str = "adam"
+    momentum: float = 0.937
+    weight_decay: float = 0.0
+    lr_decay_type: str = "cos"
+
+    # loss (yolact) — Multi_Loss(num_classes, anchors, 0.5, 0.4, 3)
+    pos_thresh: float = 0.5
+    neg_thresh: float = 0.4
+    negpos_ratio: int = 3
+
+    # runtime
+    mixed_precision: bool = True           # bf16 compute (AMP analogue)
+    ema: bool = True                       # ModelEMA (utils/helpers.py:34)
+    ema_decay: float = 0.9999
+    ema_tau: float = 2000.0
+    early_stopping: bool = True
+    patience: int = 10                     # utils/helpers.py:230-240
+    seed: int = 704                        # train.py:52 via configs/*:158
+    out_root: str = "output"
+    save_period: int = 1
+
+    # eval / inference (inst_model/yolact/yolact.py:22-60, eval.py:67-68)
+    confidence: float = 0.5
+    nms_iou: float = 0.3
+    eval_confidence: float = 0.05
+    eval_nms_iou: float = 0.5
+    traditional_nms: bool = False
+    top_k: int = 200
+    max_detections: int = 100
+    eval_max_images: int = 100             # eval.py:62
+
+    # parallelism: data axis size inferred from devices; mesh axes named
+    # here so a model axis can be added without API changes
+    mesh_axes: Tuple[str, ...] = ("data",)
+
+    @property
+    def num_classes(self) -> int:
+        return len(self.class_names)
+
+    @property
+    def min_lr(self) -> float:
+        return self.init_lr * self.min_lr_ratio
+
+    @property
+    def compute_dtype(self):
+        return jnp.bfloat16 if self.mixed_precision else jnp.float32
+
+    @property
+    def proto_shape(self) -> Tuple[int, int]:
+        # ProtoNet output = 2x P3 = input/4 (nets/yolact.py:144-148)
+        return (self.input_shape[0] // 4, self.input_shape[1] // 4)
+
+    def replace(self, **kw) -> "Config":
+        return dataclasses.replace(self, **kw)
+
+
+_REGISTRY: Dict[str, Callable[[], Config]] = {}
+
+
+def register(name: str):
+    def deco(fn: Callable[[], Config]):
+        _REGISTRY[name] = fn
+        return fn
+    return deco
+
+
+def get_config(name: str, **overrides) -> Config:
+    if name not in _REGISTRY:
+        raise KeyError(f"unknown config {name!r}; have {sorted(_REGISTRY)}")
+    cfg = _REGISTRY[name]()
+    if overrides:
+        cfg = cfg.replace(**overrides)
+    return cfg
+
+
+def list_configs():
+    return sorted(_REGISTRY)
+
+
+VOC_CLASSES = (
+    "aeroplane", "bicycle", "bird", "boat", "bottle", "bus", "car", "cat",
+    "chair", "cow", "diningtable", "dog", "horse", "motorbike", "person",
+    "pottedplant", "sheep", "sofa", "train", "tvmonitor")
+
+
+@register("yolact_base")
+def _yolact_base() -> Config:
+    """YOLACT-R50 on VOC (configs/yolact_base.py)."""
+    return Config(name="yolact_base", net="yolact", exp_name="voc",
+                  class_names=VOC_CLASSES)
+
+
+@register("mask_rcnn_base")
+def _mask_rcnn_base() -> Config:
+    """Mask R-CNN R50-FPN on VOC (configs/mask_rcnn_base.py):
+    freeze bs 4 / unfreeze bs 2, sgd lr 5e-3, momentum 0.9."""
+    return Config(name="mask_rcnn_base", net="mask_rcnn", exp_name="voc",
+                  class_names=VOC_CLASSES,
+                  freeze_batch_size=4, unfreeze_batch_size=2,
+                  init_lr=5e-3, optimizer_type="sgd", momentum=0.9,
+                  weight_decay=5e-4, max_instances=48)
+
+
+@register("yolact_synth")
+def _yolact_synth() -> Config:
+    """Tiny synthetic-shapes config for CI / smoke training."""
+    from instancesegmentation_tpu.data.datasets import SHAPE_CLASSES
+    return Config(name="yolact_synth", net="yolact", exp_name="shape",
+                  data_root="/tmp/instseg_synth",
+                  class_names=tuple(SHAPE_CLASSES),
+                  input_shape=(160, 160), max_instances=8,
+                  freeze_epoch=1, unfreeze_epoch=2,
+                  freeze_batch_size=4, unfreeze_batch_size=4,
+                  num_workers=2, ema=False, early_stopping=False)
+
+
+@register("mask_rcnn_synth")
+def _mask_rcnn_synth() -> Config:
+    from instancesegmentation_tpu.data.datasets import SHAPE_CLASSES
+    return Config(name="mask_rcnn_synth", net="mask_rcnn", exp_name="shape",
+                  data_root="/tmp/instseg_synth",
+                  class_names=tuple(SHAPE_CLASSES),
+                  input_shape=(160, 160), max_instances=8,
+                  freeze_epoch=1, unfreeze_epoch=2,
+                  freeze_batch_size=2, unfreeze_batch_size=2,
+                  init_lr=5e-3, optimizer_type="sgd", momentum=0.9,
+                  weight_decay=5e-4, num_workers=2, ema=False,
+                  early_stopping=False)

@@ -1,0 +1,183 @@
+"""Fixed-shape batch collation + threaded prefetching loader.
+
+TPU-native replacement for the reference's DataLoader+collate stack
+(models/init_model.py:88-136, inst_model/yolact/utils/dataloader.py:80-92):
+instead of ragged per-image lists, every batch is a dict of fixed-shape
+numpy arrays (instances padded to ``max_instances`` with validity masks) so
+one jitted train step serves the whole run with zero recompiles.
+
+Masks are pre-downsampled on host to the loss resolution (YOLACT: proto
+resolution — see models/yolact/loss.py docstring) so the device never sees
+(B, M, 544, 544) tensors it would immediately shrink.
+"""
+
+from __future__ import annotations
+
+import queue
+import threading
+from typing import Callable, Dict, Iterator, Optional, Tuple
+
+import numpy as np
+
+from instancesegmentation_tpu.data.augment import normalize_image
+
+
+class YolactCollate:
+    """Pad/stack samples for the YOLACT train/eval step."""
+
+    def __init__(self, max_instances: int = 64,
+                 mask_hw: Optional[Tuple[int, int]] = (136, 136)):
+        self.max_instances = max_instances
+        self.mask_hw = mask_hw
+
+    def _downsample_masks(self, masks: np.ndarray) -> np.ndarray:
+        import cv2
+        if self.mask_hw is None or masks.shape[0] == 0:
+            return masks
+        oh, ow = self.mask_hw
+        if masks.shape[1:] == (oh, ow):
+            return masks
+        # float bilinear then >0.5: the reference's in-loss downsample
+        # (yolact_training.py:272-274) moved to host
+        out = np.stack([
+            cv2.resize(m.astype(np.float32), (ow, oh),
+                       interpolation=cv2.INTER_LINEAR) > 0.5
+            for m in masks])
+        return out.astype(np.uint8)
+
+    def __call__(self, samples) -> Dict[str, np.ndarray]:
+        b = len(samples)
+        m = self.max_instances
+        h, w = samples[0]["image"].shape[:2]
+        if self.mask_hw is not None:
+            mh, mw = self.mask_hw
+        else:
+            mh, mw = h, w
+
+        images = np.zeros((b, h, w, 3), np.float32)
+        boxes = np.zeros((b, m, 4), np.float32)
+        labels = np.zeros((b, m), np.int32)
+        masks = np.zeros((b, m, mh, mw), np.uint8)
+        valid = np.zeros((b, m), bool)
+        is_crowd = np.zeros((b, m), bool)
+        image_ids = np.zeros((b,), np.int64)
+
+        for i, s in enumerate(samples):
+            images[i] = normalize_image(s["image"])
+            n = min(len(s["labels"]), m)
+            if n:
+                boxes[i, :n] = s["boxes"][:n]
+                labels[i, :n] = s["labels"][:n]
+                masks[i, :n] = self._downsample_masks(s["masks"][:n])
+                valid[i, :n] = True
+                is_crowd[i, :n] = s["is_crowd"][:n]
+            image_ids[i] = s["image_id"]
+        return {"image": images, "boxes": boxes, "labels": labels,
+                "masks": masks, "valid": valid, "is_crowd": is_crowd,
+                "image_id": image_ids}
+
+
+class RcnnCollate(YolactCollate):
+    """Mask R-CNN batch: gt masks stay at IMAGE resolution (the mask loss
+    projects them onto rois with 28x28 roi_align, roi_head.py:94-146), and
+    the image gets the reference's double normalization: preprocess_input
+    at the dataset level (inst_model/Mask_RCNN/utils/dataloader.py:214)
+    followed by GeneralizedRCNNTransform's ImageNet normalize
+    (faster_rcnn_framework.py:356-361) — an affine quirk kept for training
+    -dynamics parity."""
+
+    IMAGENET_MEAN = np.array([0.485, 0.456, 0.406], np.float32)
+    IMAGENET_STD = np.array([0.229, 0.224, 0.225], np.float32)
+
+    def __init__(self, max_instances: int = 48):
+        super().__init__(max_instances, mask_hw=None)
+
+    def __call__(self, samples):
+        batch = super().__call__(samples)
+        batch["image"] = ((batch["image"] - self.IMAGENET_MEAN)
+                          / self.IMAGENET_STD)
+        return batch
+
+
+class Loader:
+    """Shuffling, epoch-based loader with background worker threads.
+
+    The reference uses torch DataLoader worker processes
+    (models/init_model.py:127-136); here a thread pool decodes/augments
+    (cv2/numpy release the GIL for the heavy parts) and a bounded queue
+    keeps `prefetch` batches ready for the device.
+    """
+
+    def __init__(self, dataset, batch_size: int, collate: Callable,
+                 shuffle: bool = True, seed: int = 704,
+                 drop_last: bool = True, num_workers: int = 4,
+                 prefetch: int = 2):
+        self.dataset = dataset
+        self.batch_size = batch_size
+        self.collate = collate
+        self.shuffle = shuffle
+        self.seed = seed
+        self.drop_last = drop_last
+        self.num_workers = max(1, num_workers)
+        self.prefetch = prefetch
+
+    def __len__(self):
+        n = len(self.dataset)
+        return n // self.batch_size if self.drop_last else -(-n // self.batch_size)
+
+    def _epoch_indices(self, epoch: int) -> np.ndarray:
+        idx = np.arange(len(self.dataset))
+        if self.shuffle:
+            np.random.RandomState(self.seed + epoch).shuffle(idx)
+        return idx
+
+    def epoch(self, epoch: int = 0) -> Iterator[Dict[str, np.ndarray]]:
+        idx = self._epoch_indices(epoch)
+        nb = len(self)
+        batches = [idx[i * self.batch_size:(i + 1) * self.batch_size]
+                   for i in range(nb)]
+
+        def make_batch(bi: int):
+            samples = []
+            for j, di in enumerate(batches[bi]):
+                rng = np.random.default_rng(
+                    (self.seed * 1_000_003 + epoch * 7919 + int(di)) % (2**63))
+                samples.append(self.dataset.get_item(int(di), rng))
+            return self.collate(samples)
+
+        if self.num_workers <= 1:
+            for bi in range(nb):
+                yield make_batch(bi)
+            return
+
+        q: "queue.Queue" = queue.Queue(maxsize=self.prefetch)
+        stop = threading.Event()
+
+        def producer():
+            try:
+                from collections import deque
+                from concurrent.futures import ThreadPoolExecutor
+                window = self.num_workers + self.prefetch
+                with ThreadPoolExecutor(self.num_workers) as pool:
+                    inflight: deque = deque()
+                    nxt = 0
+                    while nxt < nb or inflight:
+                        while nxt < nb and len(inflight) < window:
+                            inflight.append(pool.submit(make_batch, nxt))
+                            nxt += 1
+                        if stop.is_set():
+                            return
+                        q.put(inflight.popleft().result())
+            except BaseException as e:  # surface worker errors to consumer
+                q.put(e)
+
+        t = threading.Thread(target=producer, daemon=True)
+        t.start()
+        try:
+            for _ in range(nb):
+                item = q.get()
+                if isinstance(item, BaseException):
+                    raise item
+                yield item
+        finally:
+            stop.set()

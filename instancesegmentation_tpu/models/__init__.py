@@ -21,3 +21,16 @@ def get_model(cfg, train_mode: bool = True):
                         train_mode=train_mode,
                         dtype=cfg.compute_dtype)
     raise ValueError(f"unknown net: {cfg.net!r}")
+
+
+def get_predictor(cfg, **kw):
+    """Predictor factory — the reference's ``opt.Model_Pred`` binding
+    (configs/yolact_base.py:177-179, configs/mask_rcnn_base.py:172-174)."""
+    if cfg.net == "yolact":
+        from instancesegmentation_tpu.models.yolact.predictor import YolactPredictor
+        return YolactPredictor(cfg, **kw)
+    if cfg.net == "mask_rcnn":
+        from instancesegmentation_tpu.models.mask_rcnn.predictor import \
+            MaskRCNNPredictor
+        return MaskRCNNPredictor(cfg, **kw)
+    raise ValueError(f"unknown net: {cfg.net!r}")

@@ -1,0 +1,208 @@
+"""Mask R-CNN end-to-end train/infer functions (static shapes, one traced
+XLA program each).
+
+Assembles model.py's neural modules with proposals.py / roi_heads.py
+functional logic, mirroring FasterRCNNBase.forward
+(/root/reference/inst_model/Mask_RCNN/net/network_files/
+faster_rcnn_framework.py:45-110) and MaskRCNN's mask branch
+(mask_rcnn.py:97-211):
+
+  backbone+FPN -> RPN head -> (train: rpn targets/loss) -> proposal
+  filtering -> (train: sample 512 rois) -> 7x7 MultiScaleRoIAlign -> box
+  head -> (train: fastrcnn loss | infer: postprocess) -> 14x14 RoIAlign on
+  positives/detections -> mask head -> (train: mask loss | infer: probs)
+
+Deviations (documented):
+* fixed square input (cfg.input_shape) instead of the reference's
+  min800/max1333 dynamic resize (transform.py:256-386) — XLA needs static
+  shapes; the reference's own dataset already resizes to 544^2 before the
+  network (inst_model/Mask_RCNN/utils/dataloader.py:197 via Augmentation).
+* proposal counts are per-level constants; ragged keep-lists become
+  validity masks.
+* mask branch caps positives at MASK_ROIS_PER_IMAGE (512*0.25 = the
+  sampler's own positive cap, so nothing is lost).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Dict, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from instancesegmentation_tpu.models.mask_rcnn import proposals as P
+from instancesegmentation_tpu.models.mask_rcnn import roi_heads as R
+from instancesegmentation_tpu.ops import boxes as box_ops
+from instancesegmentation_tpu.ops.anchors import (fpn_feature_sizes,
+                                                  rcnn_grid_anchors,
+                                                  rcnn_level_sizes)
+from instancesegmentation_tpu.ops.roi_align import multiscale_roi_align
+
+PRE_NMS_TOPK_TRAIN = 2000     # faster_rcnn_framework.py:261
+PRE_NMS_TOPK_TEST = 1000
+POST_NMS_TOPK_TRAIN = 2000
+POST_NMS_TOPK_TEST = 1000
+MASK_ROIS_PER_IMAGE = 128     # = 512 * positive_fraction 0.25
+ROI_SCALES = (0.25, 0.125, 0.0625, 0.03125)   # P2..P5
+
+
+def _geometry(input_shape):
+    fs = fpn_feature_sizes(tuple(input_shape))
+    anchors = jnp.asarray(rcnn_grid_anchors(fs, tuple(input_shape)))
+    level_sizes = rcnn_level_sizes(fs)
+    return anchors, level_sizes
+
+
+def make_mask_rcnn_train_fns(model, cfg, train: bool = True):
+    """Returns loss_fn(params, batch_stats, batch, rng) ->
+    (total, (loss_dict, new_stats)) for use inside a train step.
+    ``train=False`` freezes BN stats (val-loss pass)."""
+    anchors, level_sizes = _geometry(cfg.input_shape)
+    image_hw = tuple(cfg.input_shape)
+
+    def loss_fn(params, batch_stats, batch, rng):
+        variables = {"params": params, "batch_stats": batch_stats}
+        images = batch["image"]
+        b = images.shape[0]
+
+        feats, mutated = model.apply(
+            variables, images, train, method="backbone_fpn",
+            mutable=["batch_stats"] if train else [])
+        if not train:
+            mutated = {}
+        objectness, deltas = model.apply(variables, feats, method="rpn")
+
+        # gt in pixels
+        scale = jnp.asarray([image_hw[1], image_hw[0]] * 2, jnp.float32)
+        gt_boxes = batch["boxes"] * scale                    # (B, G, 4)
+        gt_fg = batch["valid"] & ~batch["is_crowd"]
+
+        # ---- RPN targets + loss (vmapped) -----------------------------
+        rpn_t = jax.vmap(P.assign_targets_to_anchors, in_axes=(None, 0, 0))(
+            anchors, gt_boxes, gt_fg)
+        rng, r1, r2 = jax.random.split(rng, 3)
+        obj_l, box_l = jax.vmap(P.rpn_loss)(
+            objectness, deltas, rpn_t, jax.random.split(r1, b))
+        loss_obj, loss_rpn_box = jnp.mean(obj_l), jnp.mean(box_l)
+
+        # ---- proposals (detached, torchvision rpn_function.py:623) ----
+        prop_boxes = box_ops.decode_rcnn(
+            jax.lax.stop_gradient(deltas), anchors[None], (1.0, 1.0, 1.0, 1.0))
+        props = jax.vmap(partial(
+            P.filter_proposals, level_sizes=level_sizes, image_hw=image_hw,
+            pre_nms_top_n=PRE_NMS_TOPK_TRAIN,
+            post_nms_top_n=POST_NMS_TOPK_TRAIN))(
+            prop_boxes, jax.lax.stop_gradient(objectness))
+
+        # ---- sample rois (vmapped) ------------------------------------
+        sampled = jax.vmap(R.select_training_samples)(
+            props.boxes, props.valid, gt_boxes, batch["labels"], gt_fg,
+            jax.random.split(r2, b))
+
+        # ---- box head ---------------------------------------------------
+        def align_one(f2, f3, f4, f5, rois):
+            return multiscale_roi_align((f2, f3, f4, f5), rois, (7, 7),
+                                        ROI_SCALES)
+        box_feats = jax.vmap(align_one)(feats[0], feats[1], feats[2],
+                                        feats[3], sampled.rois)  # (B,S,7,7,C)
+        s = box_feats.shape[1]
+        cls_logits, box_deltas = model.apply(
+            variables, box_feats.reshape(b * s, 7, 7, -1),
+            method="box_forward")
+        cls_logits = cls_logits.reshape(b, s, -1)
+        box_deltas = box_deltas.reshape(b, s, -1, 4)
+
+        cls_l, bx_l = jax.vmap(R.fastrcnn_loss)(cls_logits, box_deltas,
+                                                sampled)
+        # torchvision reduces over the concatenated batch; our per-image
+        # samplers emit equal counts, so the mean matches the global mean
+        loss_cls, loss_box = jnp.mean(cls_l), jnp.mean(bx_l)
+
+        # ---- mask branch -------------------------------------------------
+        def pick_positives(smp, rng_i):
+            pos = smp.valid & (smp.labels > 0)
+            prio = jnp.where(pos, 1.0, 0.0) + jax.random.uniform(
+                rng_i, pos.shape) * 0.5
+            _, idx = jax.lax.top_k(prio, MASK_ROIS_PER_IMAGE)
+            return (smp.rois[idx], smp.labels[idx], smp.matched_gt[idx],
+                    pos[idx])
+        rng, r3 = jax.random.split(rng)
+        m_rois, m_labels, m_gt, m_valid = jax.vmap(pick_positives)(
+            sampled, jax.random.split(r3, b))
+
+        def align14(f2, f3, f4, f5, rois):
+            return multiscale_roi_align((f2, f3, f4, f5), rois, (14, 14),
+                                        ROI_SCALES)
+        mask_feats = jax.vmap(align14)(feats[0], feats[1], feats[2],
+                                       feats[3], m_rois)
+        mm = mask_feats.shape[1]
+        mask_logits = model.apply(
+            variables, mask_feats.reshape(b * mm, 14, 14, -1),
+            method="mask_forward").reshape(b, mm, 28, 28, -1)
+
+        mask_l = jax.vmap(R.maskrcnn_loss)(
+            mask_logits, m_rois, m_labels, m_gt, m_valid,
+            batch["masks"].astype(jnp.float32))
+        loss_mask = jnp.mean(mask_l)
+
+        losses = {"loss_objectness": loss_obj,
+                  "loss_rpn_box_reg": loss_rpn_box,
+                  "loss_classifier": loss_cls,
+                  "loss_box_reg": loss_box,
+                  "loss_mask": loss_mask}
+        total = sum(losses.values())       # fit_mask_rcnn sums the dict
+        return total, (losses, mutated.get("batch_stats", batch_stats))
+
+    return loss_fn
+
+
+def make_mask_rcnn_infer_fn(model, cfg, max_det: int = 100):
+    """variables, images -> per-image Detections + mask probs (28^2)."""
+    anchors, level_sizes = _geometry(cfg.input_shape)
+    image_hw = tuple(cfg.input_shape)
+
+    def infer(variables, images):
+        b = images.shape[0]
+        feats = model.apply(variables, images, False, method="backbone_fpn")
+        objectness, deltas = model.apply(variables, feats, method="rpn")
+
+        prop_boxes = box_ops.decode_rcnn(deltas, anchors[None],
+                                         (1.0, 1.0, 1.0, 1.0))
+        props = jax.vmap(partial(
+            P.filter_proposals, level_sizes=level_sizes, image_hw=image_hw,
+            pre_nms_top_n=PRE_NMS_TOPK_TEST,
+            post_nms_top_n=POST_NMS_TOPK_TEST))(prop_boxes, objectness)
+
+        def align7(f2, f3, f4, f5, rois):
+            return multiscale_roi_align((f2, f3, f4, f5), rois, (7, 7),
+                                        ROI_SCALES)
+        box_feats = jax.vmap(align7)(feats[0], feats[1], feats[2], feats[3],
+                                     props.boxes)
+        s = box_feats.shape[1]
+        cls_logits, box_deltas = model.apply(
+            variables, box_feats.reshape(b * s, 7, 7, -1),
+            method="box_forward")
+        cls_logits = cls_logits.reshape(b, s, -1)
+        box_deltas = box_deltas.reshape(b, s, -1, 4)
+
+        dets = jax.vmap(partial(R.postprocess_detections, image_hw=image_hw,
+                                max_det=max_det))(
+            cls_logits, box_deltas, props.boxes, props.valid)
+
+        def align14(f2, f3, f4, f5, rois):
+            return multiscale_roi_align((f2, f3, f4, f5), rois, (14, 14),
+                                        ROI_SCALES)
+        mask_feats = jax.vmap(align14)(feats[0], feats[1], feats[2], feats[3],
+                                       dets.boxes)
+        mask_logits = model.apply(
+            variables, mask_feats.reshape(b * max_det, 14, 14, -1),
+            method="mask_forward").reshape(b, max_det, 28, 28, -1)
+        # pick each detection's class channel (maskrcnn_inference,
+        # roi_head.py:59-91) -> probs (B, D, 28, 28)
+        picked = jnp.take_along_axis(
+            mask_logits, dets.labels[:, :, None, None, None], axis=4)[..., 0]
+        mask_probs = jax.nn.sigmoid(picked)
+        return dets, mask_probs
+
+    return infer

@@ -1,0 +1,173 @@
+"""Mask R-CNN neural modules (flax.linen, NHWC).
+
+Topology mirrors the reference assembly
+(/root/reference/inst_model/Mask_RCNN/net/network_files/
+faster_rcnn_framework.py:255-364, mask_rcnn.py:97-252, backbone
+resnet50_fpn_model.py, feature_pyramid_network.py):
+
+  ResNet50 (C2..C5) -> FPN (256ch, P2..P5 + max-pool P6)
+  RPNHead: shared 3x3 conv + 1x1 objectness / 1x1 deltas, all levels
+  TwoMLPHead(1024) + FastRCNNPredictor(cls + per-class boxes)
+  MaskHead: 4x conv256 + 2x deconv-upsample + 1x1 per-class 28^2 logits
+
+The modules here are PURELY neural: proposal filtering, sampling, and
+losses are functional code in proposals.py / roi_heads.py — that split is
+what keeps the whole training step one traced XLA program with static
+shapes (the reference interleaves python list manipulation with module
+calls throughout).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Any, Optional, Sequence, Tuple
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+from instancesegmentation_tpu.models.resnet import ResNet
+
+NUM_ANCHORS_PER_CELL = 3     # ratios (0.5, 1, 2) x 1 size per level
+
+
+class FPN4(nn.Module):
+    """4-level FPN + LastLevelMaxPool (feature_pyramid_network.py:116-235)."""
+    out_channels: int = 256
+    dtype: Any = jnp.bfloat16
+
+    @nn.compact
+    def __call__(self, feats) -> Tuple[jnp.ndarray, ...]:
+        conv = partial(nn.Conv, dtype=self.dtype)
+        inners = [conv(self.out_channels, (1, 1), name=f"inner{i}")(f)
+                  for i, f in enumerate(feats)]
+        # top-down nearest upsample + add
+        outs = [inners[-1]]
+        for i in range(len(inners) - 2, -1, -1):
+            up = jax.image.resize(outs[0], inners[i].shape, method="nearest")
+            outs.insert(0, inners[i] + up)
+        outs = [conv(self.out_channels, (3, 3), padding=1, name=f"layer{i}")(o)
+                for i, o in enumerate(outs)]
+        # LastLevelMaxPool: stride-2 1x1 max pool (:227-235)
+        pool = nn.max_pool(outs[-1], (1, 1), strides=(2, 2))
+        return tuple(outs) + (pool,)
+
+
+class RPNHead(nn.Module):
+    """Shared conv head over all levels (rpn_function.py:211-243)."""
+    dtype: Any = jnp.bfloat16
+
+    @nn.compact
+    def __call__(self, feats):
+        conv3 = nn.Conv(256, (3, 3), padding=1, dtype=self.dtype, name="conv")
+        cls = nn.Conv(NUM_ANCHORS_PER_CELL, (1, 1), dtype=self.dtype,
+                      name="cls_logits")
+        reg = nn.Conv(NUM_ANCHORS_PER_CELL * 4, (1, 1), dtype=self.dtype,
+                      name="bbox_pred")
+        objectness, deltas = [], []
+        for f in feats:
+            t = nn.relu(conv3(f))
+            b = f.shape[0]
+            # (B, H, W, A) -> (B, H*W*A); ordering matches the anchor
+            # generator (row-major cells, anchors innermost)
+            objectness.append(cls(t).reshape(b, -1).astype(jnp.float32))
+            deltas.append(reg(t).reshape(b, -1, 4).astype(jnp.float32))
+        return (jnp.concatenate(objectness, axis=1),
+                jnp.concatenate(deltas, axis=1))
+
+
+class TwoMLPHead(nn.Module):
+    """flatten -> fc1024 -> fc1024 (faster_rcnn_framework.py:126-149)."""
+    representation_size: int = 1024
+    dtype: Any = jnp.bfloat16
+
+    @nn.compact
+    def __call__(self, x):
+        x = x.reshape(x.shape[0], -1)
+        x = nn.relu(nn.Dense(self.representation_size, dtype=self.dtype,
+                             name="fc6")(x))
+        x = nn.relu(nn.Dense(self.representation_size, dtype=self.dtype,
+                             name="fc7")(x))
+        return x
+
+
+class FastRCNNPredictor(nn.Module):
+    """cls logits + per-class box deltas (faster_rcnn_framework.py:152-172)."""
+    num_classes: int
+    dtype: Any = jnp.bfloat16
+
+    @nn.compact
+    def __call__(self, x):
+        scores = nn.Dense(self.num_classes, dtype=self.dtype,
+                          name="cls_score")(x).astype(jnp.float32)
+        deltas = nn.Dense(self.num_classes * 4, dtype=self.dtype,
+                          name="bbox_pred")(x).astype(jnp.float32)
+        return scores, deltas.reshape(x.shape[0], self.num_classes, 4)
+
+
+class MaskHead(nn.Module):
+    """4x 3x3 conv256 + 2x transposed-conv upsample + 1x1 logits
+    (mask_rcnn.py:214-252: MaskRCNNHeads + MaskRCNNPredictor)."""
+    num_classes: int
+    dtype: Any = jnp.bfloat16
+
+    @nn.compact
+    def __call__(self, x):
+        for i in range(4):
+            x = nn.relu(nn.Conv(256, (3, 3), padding=1, dtype=self.dtype,
+                                name=f"mask_fcn{i + 1}")(x))
+        x = nn.relu(nn.ConvTranspose(256, (2, 2), strides=(2, 2),
+                                     dtype=self.dtype, name="conv5_mask")(x))
+        x = nn.Conv(self.num_classes, (1, 1), dtype=self.dtype,
+                    name="mask_fcn_logits")(x)
+        return x.astype(jnp.float32)
+
+
+class MaskRCNN(nn.Module):
+    """Container exposing the neural pieces. ``backbone_fpn`` runs the
+    image tower; head methods are called by the functional train/infer
+    steps with RoI-aligned features."""
+    num_classes: int                 # includes background
+    train_mode: bool = True
+    dtype: Any = jnp.bfloat16
+    bn_axis_name: Optional[str] = None
+
+    def setup(self):
+        self.body = ResNet(layers=(3, 4, 6, 3), out_stages=(1, 2, 3, 4),
+                           dtype=self.dtype, bn_axis_name=self.bn_axis_name,
+                           name="backbone")
+        self.fpn = FPN4(dtype=self.dtype, name="fpn")
+        self.rpn_head = RPNHead(dtype=self.dtype, name="rpn_head")
+        self.box_head = TwoMLPHead(dtype=self.dtype, name="box_head")
+        self.box_predictor = FastRCNNPredictor(self.num_classes,
+                                               dtype=self.dtype,
+                                               name="box_predictor")
+        self.mask_head = MaskHead(self.num_classes, dtype=self.dtype,
+                                  name="mask_head")
+
+    def backbone_fpn(self, images, train: bool = False):
+        """images (B,H,W,3) normalized -> 5 FPN levels (P2..P6)."""
+        feats = self.body(images.astype(self.dtype), train=train)
+        return self.fpn(feats)
+
+    def rpn(self, feats):
+        return self.rpn_head(feats)
+
+    def box_forward(self, roi_feats):
+        """roi_feats (R, 7, 7, C) -> (scores (R,K), deltas (R,K,4))."""
+        return self.box_predictor(self.box_head(roi_feats.astype(self.dtype)))
+
+    def mask_forward(self, roi_feats):
+        """roi_feats (R, 14, 14, C) -> logits (R, 28, 28, K)."""
+        return self.mask_head(roi_feats.astype(self.dtype))
+
+    def __call__(self, images, train: bool = False):
+        """Init/tracing convenience: run every submodule once."""
+        feats = self.backbone_fpn(images, train=train)
+        obj, deltas = self.rpn(feats)
+        r = images.shape[0]
+        box_feats = jnp.zeros((r, 7, 7, feats[0].shape[-1]), images.dtype)
+        scores, box_deltas = self.box_forward(box_feats)
+        mask_feats = jnp.zeros((r, 14, 14, feats[0].shape[-1]), images.dtype)
+        mask_logits = self.mask_forward(mask_feats)
+        return feats, (obj, deltas), (scores, box_deltas), mask_logits

@@ -1,0 +1,149 @@
+"""High-level Mask R-CNN predictor (detect_image / get_FPS / get_map_out).
+
+API parity with /root/reference/inst_model/Mask_RCNN/mask_rcnn.py:22-332;
+mask pasting follows paste_masks_in_image
+(net/network_files/transform.py:388-418): expand the 28^2 mask by the 1px
+border ratio, bilinear-resize into the (clipped) box, paste at image
+coordinates, threshold 0.5.
+"""
+
+from __future__ import annotations
+
+import os
+import time
+from typing import Optional
+
+import jax
+import numpy as np
+
+from instancesegmentation_tpu.config import Config
+from instancesegmentation_tpu.models import get_model
+from instancesegmentation_tpu.models.mask_rcnn.meta import make_mask_rcnn_infer_fn
+from instancesegmentation_tpu.models.yolact.predictor import class_colors
+
+
+def paste_mask(mask28: np.ndarray, box_xyxy: np.ndarray, im_h: int, im_w: int,
+               thresh: float = 0.5) -> np.ndarray:
+    """One mask (M, M) probs + box -> (H, W) bool."""
+    import cv2
+    m = mask28.shape[0]
+    scale = (m + 2) / m
+    # expand box like the reference's expand_boxes (transform.py:388-400)
+    cx, cy = (box_xyxy[0] + box_xyxy[2]) / 2, (box_xyxy[1] + box_xyxy[3]) / 2
+    hw = (box_xyxy[2] - box_xyxy[0]) * scale / 2
+    hh = (box_xyxy[3] - box_xyxy[1]) * scale / 2
+    x1, y1 = int(np.floor(cx - hw)), int(np.floor(cy - hh))
+    x2, y2 = int(np.ceil(cx + hw)), int(np.ceil(cy + hh))
+
+    padded = np.zeros((m + 2, m + 2), np.float32)
+    padded[1:-1, 1:-1] = mask28
+    w, h = max(x2 - x1, 1), max(y2 - y1, 1)
+    resized = cv2.resize(padded, (w, h), interpolation=cv2.INTER_LINEAR)
+
+    out = np.zeros((im_h, im_w), bool)
+    ox1, oy1 = max(x1, 0), max(y1, 0)
+    ox2, oy2 = min(x2, im_w), min(y2, im_h)
+    if ox2 > ox1 and oy2 > oy1:
+        out[oy1:oy2, ox1:ox2] = \
+            resized[oy1 - y1:oy2 - y1, ox1 - x1:ox2 - x1] > thresh
+    return out
+
+
+class MaskRCNNPredictor:
+    def __init__(self, cfg: Config, variables=None,
+                 checkpoint: Optional[str] = None,
+                 confidence: Optional[float] = None,
+                 nms_iou: Optional[float] = None):
+        self.cfg = cfg
+        self.confidence = confidence if confidence is not None else cfg.confidence
+        self.input_shape = tuple(cfg.input_shape)
+        self.class_names = list(cfg.class_names)
+        self.colors = class_colors(len(self.class_names))
+
+        self.model = get_model(cfg, train_mode=False)
+        if variables is None:
+            if checkpoint is None:
+                raise ValueError("need variables or checkpoint")
+            variables = _load_variables(cfg, checkpoint)
+        self.variables = variables
+        self._infer = jax.jit(make_mask_rcnn_infer_fn(
+            self.model, cfg, max_det=cfg.max_detections))
+
+    def _preprocess(self, image_rgb: np.ndarray) -> np.ndarray:
+        import cv2
+        from instancesegmentation_tpu.data.augment import normalize_image
+        from instancesegmentation_tpu.data.loader import RcnnCollate
+        ih, iw = self.input_shape
+        resized = cv2.resize(image_rgb.astype(np.float32), (iw, ih),
+                             interpolation=cv2.INTER_CUBIC)
+        x = normalize_image(resized)
+        x = (x - RcnnCollate.IMAGENET_MEAN) / RcnnCollate.IMAGENET_STD
+        return x[None]
+
+    def raw_detect(self, image_rgb: np.ndarray, score_thresh=None):
+        h, w = image_rgb.shape[:2]
+        ih, iw = self.input_shape
+        dets, mask_probs = self._infer(self.variables,
+                                       self._preprocess(image_rgb))
+        thresh = self.confidence if score_thresh is None else score_thresh
+        valid = np.asarray(dets.valid[0]) & (np.asarray(dets.scores[0]) >= thresh)
+        boxes = np.asarray(dets.boxes[0])[valid]
+        # rescale from network input to original image
+        boxes = boxes * np.array([w / iw, h / ih, w / iw, h / ih], np.float32)
+        scores = np.asarray(dets.scores[0])[valid]
+        labels = np.asarray(dets.labels[0])[valid]          # 1..K
+        probs = np.asarray(mask_probs[0])[valid]            # (N, 28, 28)
+        masks = np.stack([paste_mask(p, b, h, w)
+                          for p, b in zip(probs, boxes)]) \
+            if len(boxes) else np.zeros((0, h, w), bool)
+        return {"boxes": boxes, "scores": scores,
+                "classes": labels - 1, "masks": masks}
+
+    # -- reference API ---------------------------------------------------
+    def detect_image(self, image_rgb: np.ndarray) -> np.ndarray:
+        import cv2
+        det = self.raw_detect(image_rgb)
+        out = image_rgb.astype(np.uint8).copy()
+        overlay = out.copy()
+        for i in range(len(det["scores"])):
+            color = self.colors[int(det["classes"][i]) % len(self.colors)]
+            overlay[det["masks"][i]] = color
+        out = cv2.addWeighted(overlay, 0.4, out, 0.6, 0)
+        for i in range(len(det["scores"])):
+            x1, y1, x2, y2 = det["boxes"][i].astype(int)
+            cls = int(det["classes"][i])
+            color = self.colors[cls % len(self.colors)]
+            cv2.rectangle(out, (x1, y1), (x2, y2), color, 2)
+            cv2.putText(out, f"{self.class_names[cls]} {det['scores'][i]:.2f}",
+                        (x1, max(y1 - 4, 12)), cv2.FONT_HERSHEY_SIMPLEX,
+                        0.5, color, 1, cv2.LINE_AA)
+        return out
+
+    def get_FPS(self, image_rgb: np.ndarray, test_interval: int = 100) -> float:
+        batch = self._preprocess(image_rgb)
+        out = self._infer(self.variables, batch)
+        jax.block_until_ready(out)
+        t0 = time.time()
+        for _ in range(test_interval):
+            out = self._infer(self.variables, batch)
+        jax.block_until_ready(out)
+        return (time.time() - t0) / test_interval
+
+    def get_map_out(self, image_rgb: np.ndarray):
+        det = self.raw_detect(image_rgb, score_thresh=0.0)
+        return (det["boxes"], det["scores"], det["classes"], det["masks"])
+
+
+def _load_variables(cfg: Config, checkpoint: str):
+    from instancesegmentation_tpu.train.checkpoints import CheckpointIO
+    from instancesegmentation_tpu.train.state import create_train_state
+
+    rng = jax.random.key(0)
+    sample = np.zeros((1,) + tuple(cfg.input_shape) + (3,), np.float32)
+    train_model = get_model(cfg, train_mode=True)
+    template = create_train_state(train_model, cfg, rng, sample,
+                                  lr=1e-3, frozen_backbone=False)
+    io = CheckpointIO(os.path.dirname(checkpoint))
+    state = io.restore(os.path.basename(checkpoint), template)
+    params = state.ema_params if state.ema_params is not None else state.params
+    return {"params": params, "batch_stats": state.batch_stats}

@@ -1,0 +1,169 @@
+"""RoI heads functional logic: training-sample selection, box/mask losses,
+detection post-processing.
+
+Mirrors /root/reference/inst_model/Mask_RCNN/net/network_files/roi_head.py
+with static shapes:
+
+* select_training_samples (:281-364): gt appended to proposals,
+  Matcher(0.5, 0.5, no low-quality), 512-sample @ 25% positives,
+  BoxCoder weights (10, 10, 5, 5);
+* fastrcnn_loss (:12-56): CE over sampled + smooth-L1(beta=1/9... note the
+  reference uses beta=1/9 ONLY in the RPN; the box head uses default
+  beta=1) summed over positive rows / num sampled;
+* maskrcnn_loss (:94-146): gt masks projected onto positive rois with
+  28x28 roi_align, BCE against the gt-class mask channel;
+* postprocess_detections (:366-457): per-class decode, clip, score 0.05,
+  remove-small 0.01, per-class NMS 0.5 (vmapped fixpoint NMS == the
+  reference's batched_nms), top 100.
+
+Everything is per-image; callers vmap over the batch.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from instancesegmentation_tpu.ops import boxes as box_ops
+from instancesegmentation_tpu.ops import losses as L
+from instancesegmentation_tpu.ops import matcher as match_ops
+from instancesegmentation_tpu.ops import nms as nms_ops
+from instancesegmentation_tpu.ops import roi_align as ra
+
+BOX_FG_IOU = 0.5                 # faster_rcnn_framework.py:271
+BOX_BG_IOU = 0.5
+BOX_BATCH = 512
+BOX_POS_FRACTION = 0.25
+BOX_REG_WEIGHTS = (10.0, 10.0, 5.0, 5.0)
+SCORE_THRESH = 0.05
+NMS_THRESH = 0.5
+DETECTIONS_PER_IMG = 100
+MIN_BOX_SIZE = 0.01              # boxes.py remove_small via roi_head.py:420
+
+
+class SampledRoIs(NamedTuple):
+    rois: jnp.ndarray           # (S, 4) xyxy px
+    labels: jnp.ndarray         # (S,) 0 bg, 1..K fg
+    reg_targets: jnp.ndarray    # (S, 4)
+    matched_gt: jnp.ndarray     # (S,) gt index for mask targets
+    valid: jnp.ndarray          # (S,) bool
+
+
+def select_training_samples(proposals: jnp.ndarray, prop_valid: jnp.ndarray,
+                            gt_boxes: jnp.ndarray, gt_labels: jnp.ndarray,
+                            gt_valid: jnp.ndarray, rng: jax.Array,
+                            num_samples: int = BOX_BATCH) -> SampledRoIs:
+    """One image. proposals (P,4) px; gt padded (G,·); labels 0-based."""
+    # append gt to proposals (roi_head.py:293-297)
+    all_boxes = jnp.concatenate([proposals, gt_boxes], axis=0)
+    all_valid = jnp.concatenate([prop_valid, gt_valid], axis=0)
+
+    iou = box_ops.box_iou(gt_boxes, all_boxes)             # (G, P+G)
+    iou = jnp.where(gt_valid[:, None], iou, -1.0)
+    iou = jnp.where(all_valid[None, :], iou, -1.0)
+    matched = match_ops.match_rcnn(iou, gt_valid, BOX_FG_IOU, BOX_BG_IOU,
+                                   allow_low_quality=False)
+
+    labels = jnp.where(matched >= 0,
+                       gt_labels[jnp.maximum(matched, 0)] + 1, 0)
+    labels = jnp.where(matched == match_ops.BETWEEN_THRESHOLDS, -1, labels)
+    labels = jnp.where(all_valid, labels, -1).astype(jnp.int32)
+
+    sample_labels = jnp.where(labels > 0, 1, jnp.where(labels == 0, 0, -1))
+    pos_mask, neg_mask = match_ops.balanced_sample(
+        sample_labels, all_valid, num_samples, BOX_POS_FRACTION, rng)
+    chosen = pos_mask | neg_mask
+
+    # gather a FIXED num_samples set: positives first (highest priority),
+    # then negatives; unfilled slots invalid
+    prio = jnp.where(pos_mask, 2.0, jnp.where(neg_mask, 1.0, 0.0))
+    prio += jax.random.uniform(rng, prio.shape) * 0.5      # break ties randomly
+    _, idx = jax.lax.top_k(prio, num_samples)
+    sel_valid = chosen[idx]
+
+    rois = all_boxes[idx]
+    sel_labels = jnp.where(sel_valid, labels[idx], 0)
+    sel_matched = jnp.maximum(matched[idx], 0)
+    reg_targets = box_ops.encode_rcnn(gt_boxes[sel_matched], rois,
+                                      BOX_REG_WEIGHTS)
+    return SampledRoIs(rois, sel_labels, reg_targets, sel_matched, sel_valid)
+
+
+def fastrcnn_loss(class_logits: jnp.ndarray, box_deltas: jnp.ndarray,
+                  sampled: SampledRoIs) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """class_logits (S,K), box_deltas (S,K,4) -> (cls_loss, box_loss)
+    (roi_head.py:12-56)."""
+    n = jnp.maximum(jnp.sum(sampled.valid), 1)
+    ce = L.softmax_cross_entropy(class_logits, sampled.labels)
+    cls_loss = L.masked_sum(ce, sampled.valid) / n         # CE mean
+
+    pos = sampled.valid & (sampled.labels > 0)
+    pred = jnp.take_along_axis(
+        box_deltas, sampled.labels[:, None, None].clip(0), axis=1)[:, 0]
+    box_loss = L.masked_sum(
+        L.smooth_l1(pred, sampled.reg_targets, beta=1.0 / 9).sum(-1),
+        pos) / n
+    return cls_loss, box_loss
+
+
+def maskrcnn_loss(mask_logits: jnp.ndarray, mask_rois: jnp.ndarray,
+                  roi_labels: jnp.ndarray, roi_gt_idx: jnp.ndarray,
+                  roi_valid: jnp.ndarray, gt_masks: jnp.ndarray) -> jnp.ndarray:
+    """mask_logits (M, 28, 28, K); mask_rois (M,4) px; gt_masks (G, H, W)
+    uint8 at image resolution (roi_head.py:94-146)."""
+    m, oh, ow, _ = mask_logits.shape
+    # project gt masks onto rois at 28x28 (project_masks_on_boxes: roi_align
+    # with spatial_scale=1 on the matched instance's mask)
+    def project(roi, gi):
+        return ra.roi_align(gt_masks[gi].astype(jnp.float32)[:, :, None],
+                            roi[None], (oh, ow), 1.0, 2)[0, :, :, 0]
+    targets = jax.vmap(project)(mask_rois, roi_gt_idx)     # (M, 28, 28)
+
+    picked = jnp.take_along_axis(
+        mask_logits, roi_labels[:, None, None, None].clip(0), axis=3)[..., 0]
+    bce = L.bce_with_logits(picked, targets)
+    per_roi = bce.mean(axis=(1, 2))
+    n = jnp.maximum(jnp.sum(roi_valid), 1)
+    return L.masked_sum(per_roi, roi_valid) / n
+
+
+class Detections(NamedTuple):
+    boxes: jnp.ndarray     # (D, 4) px
+    scores: jnp.ndarray    # (D,)
+    labels: jnp.ndarray    # (D,) 1..K
+    valid: jnp.ndarray     # (D,)
+
+
+def postprocess_detections(class_logits: jnp.ndarray, box_deltas: jnp.ndarray,
+                           proposals: jnp.ndarray, prop_valid: jnp.ndarray,
+                           image_hw, score_thresh: float = SCORE_THRESH,
+                           nms_thresh: float = NMS_THRESH,
+                           max_det: int = DETECTIONS_PER_IMG) -> Detections:
+    """One image (roi_head.py:366-457)."""
+    k = class_logits.shape[-1]
+    probs = jax.nn.softmax(class_logits, axis=-1)          # (P, K)
+    boxes = box_ops.decode_rcnn(box_deltas, proposals[:, None, :],
+                                BOX_REG_WEIGHTS)           # (P, K, 4)
+    boxes = box_ops.clip_boxes_to_image(boxes, image_hw)
+
+    # drop background column
+    fg_boxes = boxes[:, 1:]                                # (P, K-1, 4)
+    fg_probs = probs[:, 1:]
+
+    ok = (fg_probs > score_thresh) & prop_valid[:, None]
+    ok &= box_ops.small_box_mask(fg_boxes, MIN_BOX_SIZE)
+
+    # per-class exact NMS, vmapped over classes
+    def per_class(b, s, v):
+        return nms_ops.nms_mask(b, s, nms_thresh, v)
+    keep = jax.vmap(per_class, in_axes=(1, 1, 1), out_axes=1)(
+        fg_boxes, fg_probs, ok)                            # (P, K-1)
+
+    flat_scores = jnp.where(keep, fg_probs, 0.0).reshape(-1)
+    d = min(max_det, flat_scores.shape[0])
+    top, idx = jax.lax.top_k(flat_scores, d)
+    det_boxes = fg_boxes.reshape(-1, 4)[idx]
+    det_labels = (idx % (k - 1)).astype(jnp.int32) + 1
+    return Detections(det_boxes, top, det_labels, top > score_thresh)

@@ -1,0 +1,135 @@
+"""High-level YOLACT predictor — the user-facing inference object.
+
+API parity with the reference predictor class
+(/root/reference/inst_model/yolact/yolact.py:21-278): ``detect_image``
+(overlay rendering), ``get_FPS`` (timed loop), ``get_map_out`` (raw
+outputs for COCO eval), same default thresholds (:22-60). The compute path
+is one jitted function; only decode-to-original-resolution and drawing run
+on host.
+"""
+
+from __future__ import annotations
+
+import colorsys
+import time
+from typing import Optional
+
+import jax
+import numpy as np
+
+from instancesegmentation_tpu.config import Config
+from instancesegmentation_tpu.models import get_model
+from instancesegmentation_tpu.models.yolact.predict import (finish_detections,
+                                                            make_infer_fn)
+from instancesegmentation_tpu.ops.anchors import yolact_anchors
+
+
+def class_colors(n: int):
+    """HSV-spread palette (inst_model/yolact/yolact.py:88-108)."""
+    hsv = [(i / n, 1.0, 1.0) for i in range(n)]
+    rgb = [tuple(int(255 * c) for c in colorsys.hsv_to_rgb(*t)) for t in hsv]
+    return rgb
+
+
+class YolactPredictor:
+    def __init__(self, cfg: Config, variables=None, checkpoint: Optional[str] = None,
+                 confidence: Optional[float] = None,
+                 nms_iou: Optional[float] = None):
+        self.cfg = cfg
+        self.confidence = confidence if confidence is not None else cfg.confidence
+        self.nms_iou = nms_iou if nms_iou is not None else cfg.nms_iou
+        self.input_shape = tuple(cfg.input_shape)
+        self.class_names = list(cfg.class_names)
+        self.colors = class_colors(len(self.class_names))
+
+        self.model = get_model(cfg, train_mode=False)
+        self.anchors = yolact_anchors(cfg.input_shape, cfg.anchors_size)
+
+        if variables is None:
+            if checkpoint is None:
+                raise ValueError("need variables or checkpoint")
+            variables = _load_variables(cfg, checkpoint, self.model)
+        self.variables = variables
+
+        infer = make_infer_fn(self.model, self.anchors, self.confidence,
+                              self.nms_iou, cfg.top_k, cfg.max_detections)
+        self._infer = jax.jit(infer)
+
+    # ------------------------------------------------------------------
+    def _preprocess(self, image_rgb: np.ndarray) -> np.ndarray:
+        import cv2
+        from instancesegmentation_tpu.data.augment import normalize_image
+        ih, iw = self.input_shape
+        resized = cv2.resize(image_rgb.astype(np.float32), (iw, ih),
+                             interpolation=cv2.INTER_CUBIC)
+        return normalize_image(resized)[None]
+
+    def raw_detect(self, image_rgb: np.ndarray):
+        """Forward + NMS; returns host-finished detections dict."""
+        batch = self._preprocess(image_rgb)
+        raw = self._infer(self.variables, batch)
+        raw0 = jax.tree_util.tree_map(lambda x: np.asarray(x[0]), raw)
+        return finish_detections(raw0, image_rgb.shape[:2])
+
+    # -- reference API ---------------------------------------------------
+    def detect_image(self, image_rgb: np.ndarray) -> np.ndarray:
+        """Overlay boxes/labels/masks (yolact.py:130-199). Returns RGB."""
+        import cv2
+        det = self.raw_detect(image_rgb)
+        out = image_rgb.astype(np.uint8).copy()
+        if len(det["scores"]) == 0:
+            return out
+
+        # 0.4/0.6 blended instance masks (yolact.py:168-180)
+        overlay = out.copy()
+        for i in range(len(det["scores"])):
+            color = self.colors[int(det["classes"][i]) % len(self.colors)]
+            overlay[det["masks"][i] & (det["masks_arg"] == i + 1)] = color
+        out = cv2.addWeighted(overlay, 0.4, out, 0.6, 0)
+
+        for i in range(len(det["scores"])):
+            x1, y1, x2, y2 = det["boxes"][i].astype(int)
+            cls = int(det["classes"][i])
+            color = self.colors[cls % len(self.colors)]
+            cv2.rectangle(out, (x1, y1), (x2, y2), color, 2)
+            label = f"{self.class_names[cls]} {det['scores'][i]:.2f}"
+            cv2.putText(out, label, (x1, max(y1 - 4, 12)),
+                        cv2.FONT_HERSHEY_SIMPLEX, 0.5, color, 1, cv2.LINE_AA)
+        return out
+
+    def get_FPS(self, image_rgb: np.ndarray, test_interval: int = 100) -> float:
+        """Mean seconds/iter over test_interval forward+decode loops
+        (yolact.py:201-243); block_until_ready replaces cuda sync."""
+        batch = self._preprocess(image_rgb)
+        raw = self._infer(self.variables, batch)       # warmup/compile
+        jax.block_until_ready(raw)
+        t0 = time.time()
+        for _ in range(test_interval):
+            raw = self._infer(self.variables, batch)
+        jax.block_until_ready(raw)
+        return (time.time() - t0) / test_interval
+
+    def get_map_out(self, image_rgb: np.ndarray):
+        """Raw eval outputs (yolact.py:245-278): boxes px, scores, classes,
+        full-res binary masks."""
+        det = self.raw_detect(image_rgb)
+        return (det["boxes"], det["scores"], det["classes"], det["masks"])
+
+
+def _load_variables(cfg: Config, checkpoint: str, model):
+    """Restore {'params','batch_stats'} from an orbax train-state dir,
+    preferring EMA weights when present (script.py:90-93 eval-with-EMA)."""
+    import jax.numpy as jnp
+    from instancesegmentation_tpu.train.checkpoints import CheckpointIO
+    from instancesegmentation_tpu.train.state import create_train_state
+    import os
+
+    rng = jax.random.key(0)
+    sample = np.zeros((1,) + tuple(cfg.input_shape) + (3,), np.float32)
+    train_model = get_model(cfg, train_mode=True)
+    template = create_train_state(train_model, cfg, rng, sample,
+                                  lr=1e-3, frozen_backbone=False)
+    io = CheckpointIO(os.path.dirname(checkpoint))
+    state = io.restore(os.path.basename(checkpoint), template)
+    params = state.ema_params if state.ema_params is not None else state.params
+    return {"params": params, "batch_stats": state.batch_stats}

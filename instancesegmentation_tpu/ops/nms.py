@@ -75,26 +75,44 @@ def nms_mask(boxes: jnp.ndarray, scores: jnp.ndarray,
              iou_thresh: float, valid: jnp.ndarray | None = None) -> jnp.ndarray:
     """Exact greedy NMS -> boolean keep mask (same order as input).
 
-    Matches torchvision.ops.nms: iterate candidates in descending score;
-    a box is kept iff not suppressed by an earlier kept box with
-    IoU > iou_thresh. O(N) fixed iterations over an (N,) state vector with
-    an (N, N) IoU matrix computed once — XLA-friendly, no data-dependent
-    shapes. Intended for N <= ~2-4k (post top-k), where the N^2 IoU is cheap.
+    Matches torchvision.ops.nms: a box survives iff no higher-scored
+    SURVIVING box overlaps it above iou_thresh. Computed as a Jacobi
+    fixpoint on the score-ordered suppression DAG:
+
+        keep_j <- valid_j & ~any_i<j (keep_i & iou_ij > thr)
+
+    which settles level-by-level along suppression chains — exact greedy
+    in at most chain-depth iterations (typically < 20), each one an
+    (N,N) @ (N,) product that maps onto the MXU. This replaces the
+    reference's sequential C++ loop (torchvision nms, boxes.py:7-34) with
+    a form XLA can actually pipeline: O(depth) matvecs instead of O(N)
+    data-dependent steps.
     """
     n = boxes.shape[0]
+    if n == 0:
+        return jnp.zeros((0,), bool)
     if valid is None:
         valid = jnp.ones((n,), bool)
     order = jnp.argsort(-jnp.where(valid, scores, -jnp.inf))
     sboxes = boxes[order]
     svalid = valid[order]
     iou = box_ops.box_iou(sboxes, sboxes)                          # (N, N)
+    # suppress[i, j]: higher-ranked i knocks out j (strictly upper-tri)
+    suppress = jnp.triu(iou > iou_thresh, k=1).astype(jnp.float32)
 
-    def body(i, keep):
-        # candidate i survives iff no kept j<i suppresses it
-        suppressed = jnp.any(keep & (jnp.arange(n) < i) & (iou[i] > iou_thresh))
-        return keep.at[i].set(~suppressed & svalid[i])
+    def cond(carry):
+        keep, prev_keep, it = carry
+        return (it < n) & jnp.any(keep != prev_keep)
 
-    keep_sorted = jax.lax.fori_loop(0, n, body, jnp.zeros((n,), bool))
+    def body(carry):
+        keep, _, it = carry
+        hit = suppress.T @ keep.astype(jnp.float32)                # (N,)
+        new_keep = svalid & (hit < 0.5)
+        return new_keep, keep, it + 1
+
+    keep0 = svalid
+    keep_sorted, _, _ = jax.lax.while_loop(
+        cond, body, (keep0, jnp.zeros_like(keep0), 0))
     return jnp.zeros((n,), bool).at[order].set(keep_sorted)
 
 

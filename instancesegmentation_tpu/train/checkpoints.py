@@ -1,0 +1,56 @@
+"""Checkpointing via orbax: full train state, epoch + best + last aliases.
+
+Covers (and fixes) the reference's .pth trio (models/script.py:125-144,
+:259-279: ep%03d / best_epoch_weights / last_epoch_weights, rank-0 only,
+params only). Here the FULL state (params, BN stats, optimizer, EMA, step)
+is saved, so resume continues the schedule instead of restarting it
+(SURVEY §5.4 flags the reference's missing optimizer state), and orbax
+handles multi-host coordination.
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Any, Optional
+
+import orbax.checkpoint as ocp
+
+
+class CheckpointIO:
+    def __init__(self, directory: str):
+        self.directory = os.path.abspath(directory)
+        os.makedirs(self.directory, exist_ok=True)
+        self._ckptr = ocp.StandardCheckpointer()
+
+    def _path(self, name: str) -> str:
+        return os.path.join(self.directory, name)
+
+    def save(self, name: str, state: Any):
+        self._ckptr.save(self._path(name), state, force=True)
+
+    def save_epoch(self, epoch: int, state: Any, train_loss: float,
+                   val_loss: float, is_best: bool):
+        """Reference naming: ep%03d-loss%.3f-val_loss%.3f + best/last
+        (models/script.py:134-144)."""
+        self.save(f"ep{epoch + 1:03d}-loss{train_loss:.3f}-val_loss{val_loss:.3f}",
+                  state)
+        if is_best:
+            self.save("best_epoch_weights", state)
+        self.save("last_epoch_weights", state)
+
+    def restore(self, name: str, template: Any) -> Any:
+        self._ckptr.wait_until_finished()
+        return self._ckptr.restore(self._path(name), template)
+
+    def has(self, name: str) -> bool:
+        self._ckptr.wait_until_finished()
+        return os.path.isdir(self._path(name))
+
+    def latest_epoch_name(self) -> Optional[str]:
+        self._ckptr.wait_until_finished()
+        if self.has("last_epoch_weights"):
+            return "last_epoch_weights"
+        return None
+
+    def wait(self):
+        self._ckptr.wait_until_finished()

@@ -7,7 +7,7 @@ bench.py / the driver's compile checks.
 
 import os
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+os.environ["JAX_PLATFORMS"] = "cpu"   # force: the ambient env sets 'axon'
 xla_flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in xla_flags:
     os.environ["XLA_FLAGS"] = (
@@ -16,6 +16,15 @@ if "xla_force_host_platform_device_count" not in xla_flags:
 import jax  # noqa: E402
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402
+
+# The environment's sitecustomize imports jax and registers/initializes the
+# 'axon' TPU backend before this file runs; drop those backends so the
+# CPU + 8-virtual-device settings above take effect.
+jax.config.update("jax_platforms", "cpu")
+if jax.devices()[0].platform != "cpu" or len(jax.devices()) != 8:
+    from jax.extend import backend as _jexb
+    _jexb.clear_backends()
+assert jax.devices()[0].platform == "cpu" and len(jax.devices()) == 8
 
 jax.config.update("jax_enable_x64", False)
 # Persistent compile cache: CPU jit compiles dominate test wall-clock.

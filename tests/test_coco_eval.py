@@ -1,0 +1,114 @@
+import numpy as np
+import pytest
+
+from instancesegmentation_tpu.data import rle
+from instancesegmentation_tpu.data.coco import COCO
+from instancesegmentation_tpu.data.coco_eval import COCOeval
+
+
+def _gt(boxes_by_img, hw=(100, 100)):
+    """boxes_by_img: {img_id: [(x,y,w,h,cat), ...]}"""
+    images, anns = [], []
+    aid = 1
+    for img_id, boxes in boxes_by_img.items():
+        images.append({"id": img_id, "height": hw[0], "width": hw[1],
+                       "file_name": f"{img_id}.png"})
+        for (x, y, w, h, c) in boxes:
+            m = np.zeros(hw, np.uint8)
+            m[int(y):int(y + h), int(x):int(x + w)] = 1
+            anns.append({"id": aid, "image_id": img_id, "category_id": c,
+                         "bbox": [x, y, w, h], "area": w * h, "iscrowd": 0,
+                         "segmentation": rle.encode(m)})
+            aid += 1
+    return COCO({"images": images, "annotations": anns,
+                 "categories": [{"id": 1, "name": "a"}, {"id": 2, "name": "b"}]})
+
+
+def _det(img_id, x, y, w, h, c, score, hw=(100, 100)):
+    m = np.zeros(hw, np.uint8)
+    m[int(y):int(y + h), int(x):int(x + w)] = 1
+    return {"image_id": img_id, "category_id": c, "bbox": [x, y, w, h],
+            "score": score, "segmentation": rle.encode(m)}
+
+
+def _run(gt, dets, iou_type="bbox"):
+    ev = COCOeval(gt, gt.loadRes(dets), iou_type)
+    ev.evaluate()
+    ev.accumulate()
+    import contextlib, io
+    with contextlib.redirect_stdout(io.StringIO()):
+        ev.summarize()
+    return ev.stats
+
+
+def test_perfect_detection_ap1():
+    gt = _gt({1: [(10, 10, 30, 40, 1)]})
+    dets = [_det(1, 10, 10, 30, 40, 1, 0.9)]
+    for iou_type in ("bbox", "segm"):
+        stats = _run(gt, dets, iou_type)
+        assert stats[0] == pytest.approx(1.0), (iou_type, stats)
+        assert stats[1] == pytest.approx(1.0)
+
+
+def test_miss_gives_zero():
+    gt = _gt({1: [(10, 10, 30, 40, 1)]})
+    stats = _run(gt, [_det(1, 60, 60, 20, 20, 1, 0.9)])
+    assert stats[0] == pytest.approx(0.0)
+
+
+def test_partial_iou_counts_fraction_of_thresholds():
+    # det shifted: gt (0,0,10,10), det (0,0,10,8) -> IoU = 0.8
+    gt = _gt({1: [(0, 0, 10, 10, 1)]})
+    stats = _run(gt, [_det(1, 0, 0, 10, 8, 1, 0.9)])
+    # matches at thresholds 0.50..0.80 -> 7 of 10
+    assert stats[0] == pytest.approx(0.7, abs=1e-6)
+    assert stats[1] == pytest.approx(1.0)   # AP@0.5
+
+
+def test_false_positive_lowers_precision():
+    gt = _gt({1: [(10, 10, 30, 40, 1)]})
+    dets = [_det(1, 10, 10, 30, 40, 1, 0.8),
+            _det(1, 60, 60, 20, 20, 1, 0.9)]   # higher-scored FP
+    stats = _run(gt, dets)
+    # 101-pt AP with precision 0.5 across all recall = 0.5
+    assert stats[1] == pytest.approx(0.5, abs=0.01)
+
+
+def test_wrong_class_is_fp():
+    gt = _gt({1: [(10, 10, 30, 40, 1)]})
+    stats = _run(gt, [_det(1, 10, 10, 30, 40, 2, 0.9)])
+    assert stats[0] == pytest.approx(0.0)
+
+
+def test_crowd_gt_not_counted_and_matches_ignored():
+    gt = _gt({1: [(10, 10, 30, 40, 1)]})
+    gt.dataset["annotations"][0]["iscrowd"] = 1
+    gt = COCO(gt.dataset)
+    stats = _run(gt, [_det(1, 10, 10, 30, 40, 1, 0.9)])
+    assert stats[0] == pytest.approx(-1.0)   # no non-ignored gt -> undefined
+
+
+def test_two_images_multi_class():
+    gt = _gt({1: [(10, 10, 30, 40, 1), (50, 50, 20, 20, 2)],
+              2: [(0, 0, 50, 50, 1)]})
+    dets = [_det(1, 10, 10, 30, 40, 1, 0.9),
+            _det(1, 50, 50, 20, 20, 2, 0.8),
+            _det(2, 0, 0, 50, 50, 1, 0.95)]
+    stats = _run(gt, dets)
+    assert stats[0] == pytest.approx(1.0)
+    stats_m = _run(gt, dets, "segm")
+    assert stats_m[0] == pytest.approx(1.0)
+
+
+def test_area_ranges():
+    # small object (16x16=256 < 1024) only
+    gt = _gt({1: [(10, 10, 16, 16, 1)]})
+    dets = [_det(1, 10, 10, 16, 16, 1, 0.9)]
+    ev = COCOeval(gt, gt.loadRes(dets), "bbox")
+    ev.evaluate()
+    ev.accumulate()
+    import contextlib, io
+    with contextlib.redirect_stdout(io.StringIO()):
+        ev.summarize()
+    assert ev.stats[3] == pytest.approx(1.0)    # AP small
+    assert ev.stats[4] == pytest.approx(-1.0)   # AP medium: none

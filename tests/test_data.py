@@ -1,0 +1,178 @@
+import numpy as np
+import pytest
+
+from instancesegmentation_tpu.data import rle
+from instancesegmentation_tpu.data.augment import Augmentation, BaseTransform, normalize_image
+from instancesegmentation_tpu.data.coco import COCO, get_coco_label_map
+from instancesegmentation_tpu.data.datasets import (SHAPE_CLASSES, SegDataset,
+                                                    synthetic_annotation)
+from instancesegmentation_tpu.data.loader import Loader, YolactCollate
+
+
+# ---------------------------------------------------------------- RLE codec
+
+def test_rle_roundtrip_random(rng):
+    for _ in range(10):
+        h, w = rng.randint(5, 60), rng.randint(5, 60)
+        mask = (rng.rand(h, w) > 0.6).astype(np.uint8)
+        enc = rle.encode(mask)
+        dec = rle.decode(enc)
+        np.testing.assert_array_equal(dec, mask)
+        assert rle.area(enc) == mask.sum()
+
+
+def test_rle_known_value():
+    # 3x3, column-major runs: col0=[1,1,0], col1=[0,1,0], col2=[0,0,1]
+    mask = np.array([[1, 0, 0], [1, 1, 0], [0, 0, 1]], np.uint8)
+    enc = rle.encode(mask)
+    counts = rle.string_to_counts(enc["counts"])
+    # flat F-order: 1,1,0, 0,1,0, 0,0,1 -> runs: 0x0,2x1,2x0,1x1,3x0,1x1
+    assert counts == [0, 2, 2, 1, 3, 1]
+    np.testing.assert_array_equal(rle.decode(enc), mask)
+
+
+def test_rle_empty_and_full():
+    z = np.zeros((4, 7), np.uint8)
+    f = np.ones((4, 7), np.uint8)
+    np.testing.assert_array_equal(rle.decode(rle.encode(z)), z)
+    np.testing.assert_array_equal(rle.decode(rle.encode(f)), f)
+    assert rle.area(rle.encode(f)) == 28
+
+
+def test_rle_uncompressed_counts():
+    dec = rle.decode({"size": [2, 2], "counts": [1, 2, 1]})
+    np.testing.assert_array_equal(dec, np.array([[0, 1], [1, 0]]))
+
+
+def test_rle_iou():
+    a = rle.encode(np.array([[1, 1], [0, 0]], np.uint8))
+    b = rle.encode(np.array([[1, 0], [1, 0]], np.uint8))
+    out = rle.iou_rle([a], [b], [0])
+    np.testing.assert_allclose(out, [[1 / 3]])
+    crowd = rle.iou_rle([a], [b], [1])   # inter / area(dt) = 1/2
+    np.testing.assert_allclose(crowd, [[0.5]])
+
+
+def test_polygons_to_mask():
+    m = rle.polygons_to_mask([[1, 1, 6, 1, 6, 6, 1, 6]], 8, 8)
+    assert m[3, 3] == 1 and m[0, 0] == 0
+    assert m.sum() >= 25
+
+
+# ---------------------------------------------------------------- COCO API
+
+def _tiny_coco():
+    return COCO({
+        "images": [{"id": 1, "height": 4, "width": 4, "file_name": "a.png"},
+                   {"id": 2, "height": 4, "width": 4, "file_name": "b.png"}],
+        "annotations": [
+            {"id": 10, "image_id": 1, "category_id": 1,
+             "bbox": [0, 0, 2, 2], "area": 4, "iscrowd": 0,
+             "segmentation": {"size": [4, 4], "counts": [0, 2, 2, 2, 10]}},
+            {"id": 11, "image_id": 1, "category_id": 2, "bbox": [2, 2, 2, 2],
+             "area": 4, "iscrowd": 1,
+             "segmentation": {"size": [4, 4], "counts": [10, 2, 2, 2]}},
+        ],
+        "categories": [{"id": 1, "name": "cat"}, {"id": 2, "name": "dog"}],
+    })
+
+
+def test_coco_index_queries():
+    c = _tiny_coco()
+    assert c.getImgIds() == [1, 2]
+    assert c.getAnnIds(imgIds=1) == [10, 11]
+    assert c.getAnnIds(imgIds=1, iscrowd=True) == [11]
+    assert c.getCatIds() == [1, 2]
+    assert c.loadImgs(2)[0]["file_name"] == "b.png"
+    mask = c.annToMask(c.loadAnns(10)[0])
+    assert mask.shape == (4, 4) and mask.sum() == 4
+
+
+def test_label_map():
+    c = _tiny_coco()
+    lm = get_coco_label_map(c, ["dog", "cat"])
+    assert lm == {2: 1, 1: 2}
+
+
+# ------------------------------------------------------- synthetic dataset
+
+@pytest.fixture(scope="module")
+def synth(tmp_path_factory):
+    root = tmp_path_factory.mktemp("synth")
+    return synthetic_annotation(str(root), num_images=6, image_size=128)
+
+
+def test_synthetic_dataset_raw(synth):
+    ds = SegDataset(synth.train_image_path, synth.train_coco, synth.label_map)
+    assert len(ds) == 6
+    s = ds.raw_item(0)
+    assert s["image"].shape == (128, 128, 3)
+    n = len(s["labels"])
+    assert 1 <= n <= 4
+    assert s["masks"].shape == (n, 128, 128)
+    assert np.all(s["boxes"] >= 0) and np.all(s["boxes"] <= 1)
+    assert np.all(s["labels"] >= 0) and np.all(s["labels"] < len(SHAPE_CLASSES))
+    # boxes tight around masks
+    ys, xs = np.nonzero(s["masks"][0])
+    np.testing.assert_allclose(s["boxes"][0],
+                               [xs.min() / 128, ys.min() / 128,
+                                (xs.max() + 1) / 128, (ys.max() + 1) / 128],
+                               atol=1e-6)
+
+
+def test_augmentation_keeps_invariants(synth):
+    ds = SegDataset(synth.train_image_path, synth.train_coco, synth.label_map,
+                    transform=Augmentation((96, 96)))
+    for i in range(4):
+        s = ds.get_item(i, np.random.default_rng(i))
+        assert s["image"].shape == (96, 96, 3)
+        n = len(s["labels"])
+        assert n >= 1
+        assert s["masks"].shape == (n, 96, 96)
+        assert s["boxes"].shape == (n, 4)
+        assert np.all(s["boxes"][:, 2:] >= s["boxes"][:, :2] - 1e-5)
+        assert np.all(s["boxes"] >= -1e-5) and np.all(s["boxes"] <= 1 + 1e-5)
+
+
+def test_base_transform_deterministic(synth):
+    ds = SegDataset(synth.val_image_path, synth.val_coco, synth.label_map,
+                    transform=BaseTransform((96, 96)))
+    a = ds.get_item(0, np.random.default_rng(0))
+    b = ds.get_item(0, np.random.default_rng(99))
+    np.testing.assert_array_equal(a["image"], b["image"])
+    np.testing.assert_array_equal(a["boxes"], b["boxes"])
+
+
+def test_loader_batches(synth):
+    ds = SegDataset(synth.train_image_path, synth.train_coco, synth.label_map,
+                    transform=BaseTransform((96, 96)))
+    loader = Loader(ds, batch_size=3, collate=YolactCollate(8, (24, 24)),
+                    num_workers=2)
+    batches = list(loader.epoch(0))
+    assert len(batches) == 2
+    b = batches[0]
+    assert b["image"].shape == (3, 96, 96, 3)
+    assert b["boxes"].shape == (3, 8, 4)
+    assert b["masks"].shape == (3, 8, 24, 24)
+    assert b["valid"].dtype == bool and b["valid"].any()
+    # padded slots all-zero
+    assert np.all(b["boxes"][~b["valid"]] == 0)
+    # normalization applied
+    assert abs(b["image"].mean()) < 3.0
+
+
+def test_loader_shuffles_between_epochs(synth):
+    ds = SegDataset(synth.train_image_path, synth.train_coco, synth.label_map,
+                    transform=BaseTransform((96, 96)))
+    loader = Loader(ds, batch_size=3, collate=YolactCollate(8, (24, 24)),
+                    num_workers=1)
+    ids0 = np.concatenate([b["image_id"] for b in loader.epoch(0)])
+    ids1 = np.concatenate([b["image_id"] for b in loader.epoch(1)])
+    assert set(ids0) == set(ids1)
+    assert not np.array_equal(ids0, ids1)
+
+
+def test_normalize_image_stats():
+    img = np.full((4, 4, 3), 123.68, np.float32)
+    out = normalize_image(img)
+    assert abs(out[..., 0]).max() < 1e-5

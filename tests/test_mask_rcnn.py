@@ -1,0 +1,128 @@
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from instancesegmentation_tpu.models.mask_rcnn import proposals as P
+from instancesegmentation_tpu.models.mask_rcnn import roi_heads as R
+
+
+def test_assign_targets_to_anchors():
+    anchors = jnp.array([[0, 0, 10, 10], [20, 20, 30, 30], [100, 100, 110, 110]],
+                        jnp.float32)
+    gt = jnp.array([[0, 0, 10, 10], [19, 19, 31, 31], [0, 0, 0, 0]], jnp.float32)
+    valid = jnp.array([True, True, False])
+    t = P.assign_targets_to_anchors(anchors, gt, valid)
+    labels = np.asarray(t.labels)
+    assert labels[0] == 1            # exact match
+    assert labels[1] == 1            # iou > 0.7
+    assert labels[2] == 0            # background
+    # offsets of exact match are 0
+    np.testing.assert_allclose(np.asarray(t.reg_targets)[0], 0, atol=1e-5)
+
+
+def test_rpn_loss_finite():
+    a = 64
+    rng = np.random.RandomState(0)
+    anchors = jnp.asarray(np.concatenate([
+        rng.uniform(0, 50, (a, 2)), rng.uniform(60, 100, (a, 2))], 1)
+        .astype(np.float32))
+    gt = jnp.array([[10, 10, 70, 70]] + [[0, 0, 0, 0]] * 3, jnp.float32)
+    valid = jnp.array([True, False, False, False])
+    t = P.assign_targets_to_anchors(anchors, gt, valid)
+    obj = jnp.asarray(rng.randn(a).astype(np.float32))
+    deltas = jnp.asarray(rng.randn(a, 4).astype(np.float32))
+    lo, lb = P.rpn_loss(obj, deltas, t, jax.random.key(0))
+    assert np.isfinite(float(lo)) and np.isfinite(float(lb))
+
+
+def test_filter_proposals_static_shapes():
+    rng = np.random.RandomState(1)
+    level_sizes = (48, 12)
+    n = sum(level_sizes)
+    boxes = rng.uniform(0, 90, (n, 2))
+    boxes = np.concatenate([boxes, boxes + rng.uniform(5, 30, (n, 2))], 1)
+    props = P.filter_proposals(jnp.asarray(boxes.astype(np.float32)),
+                               jnp.asarray(rng.randn(n).astype(np.float32)),
+                               level_sizes, (100, 100),
+                               pre_nms_top_n=20, post_nms_top_n=16)
+    assert props.boxes.shape == (16, 4)
+    assert props.valid.shape == (16,)
+    assert bool(np.asarray(props.valid).any())
+    # clipped to image
+    kept = np.asarray(props.boxes)[np.asarray(props.valid)]
+    assert kept.min() >= 0 and kept.max() <= 100
+
+
+def test_select_training_samples_includes_gt():
+    rng = np.random.RandomState(2)
+    proposals = jnp.asarray(rng.uniform(0, 50, (40, 4)).astype(np.float32))
+    prop_valid = jnp.ones((40,), bool)
+    gt = jnp.array([[10, 10, 30, 30], [0, 0, 0, 0]], jnp.float32)
+    gt_labels = jnp.array([2, 0], jnp.int32)
+    gt_valid = jnp.array([True, False])
+    s = R.select_training_samples(proposals, prop_valid, gt, gt_labels,
+                                  gt_valid, jax.random.key(0), num_samples=32)
+    assert s.rois.shape == (32, 4)
+    labels = np.asarray(s.labels)[np.asarray(s.valid)]
+    # gt was appended to proposals, so at least one positive with label 3
+    assert (labels == 3).sum() >= 1
+    assert np.all((labels == 0) | (labels == 3))
+
+
+def test_postprocess_detections_shapes():
+    rng = np.random.RandomState(3)
+    p, k = 50, 4
+    logits = jnp.asarray(rng.randn(p, k).astype(np.float32) * 3)
+    deltas = jnp.asarray(rng.randn(p, k, 4).astype(np.float32) * 0.1)
+    props = jnp.asarray(np.concatenate([
+        rng.uniform(0, 60, (p, 2)), rng.uniform(70, 120, (p, 2))], 1)
+        .astype(np.float32))
+    dets = R.postprocess_detections(logits, deltas, props,
+                                    jnp.ones((p,), bool), (128, 128),
+                                    max_det=20)
+    assert dets.boxes.shape == (20, 4)
+    v = np.asarray(dets.valid)
+    assert v.any()
+    assert np.all(np.asarray(dets.labels)[v] >= 1)
+    assert np.all(np.asarray(dets.scores)[v] > R.SCORE_THRESH)
+
+
+@pytest.mark.slow
+def test_mask_rcnn_train_step_smoke():
+    """Tiny full train step: finite losses, one optimizer update."""
+    from instancesegmentation_tpu.config import get_config
+    from instancesegmentation_tpu.models import get_model
+    from instancesegmentation_tpu.train.state import (create_train_state,
+                                                      make_phase_optimizer)
+    from instancesegmentation_tpu.train.steps import make_mask_rcnn_train_step
+
+    cfg = get_config("mask_rcnn_synth", input_shape=(64, 64), max_instances=4,
+                     mixed_precision=False)
+    model = get_model(cfg, train_mode=True)
+    b = 2
+    sample = np.zeros((b, 64, 64, 3), np.float32)
+    state = create_train_state(model, cfg, jax.random.key(0), sample,
+                               lr=1e-3, frozen_backbone=True)
+    tx = make_phase_optimizer(cfg, 1e-3, True, state.params)
+    step = jax.jit(make_mask_rcnn_train_step(model, tx, cfg),
+                   donate_argnums=0)
+
+    m = cfg.max_instances
+    batch = {
+        "image": np.random.RandomState(0).randn(b, 64, 64, 3).astype(np.float32),
+        "boxes": np.tile(np.array([[0.1, 0.1, 0.6, 0.7]], np.float32), (b, m, 1)),
+        "labels": np.ones((b, m), np.int32),
+        "masks": np.zeros((b, m, 64, 64), np.uint8),
+        "valid": np.tile(np.arange(m) < 2, (b, 1)),
+        "is_crowd": np.zeros((b, m), bool),
+    }
+    batch["masks"][:, :, 8:40, 8:40] = 1
+    state, metrics = step(state, {k: jnp.asarray(v) for k, v in batch.items()},
+                          jax.random.key(1))
+    for k, v in metrics.items():
+        assert np.isfinite(float(v)), (k, metrics)
+    assert int(state.step) == 1
+    assert set(metrics) == {"loss_objectness", "loss_rpn_box_reg",
+                            "loss_classifier", "loss_box_reg", "loss_mask",
+                            "total"}

@@ -35,6 +35,20 @@ def test_nms_mask_matches_greedy(rng):
     assert sorted(np.nonzero(keep)[0].tolist()) == _ref_greedy_nms(boxes, scores, 0.5)
 
 
+def test_nms_fixpoint_matches_greedy_large(rng):
+    """Dense overlapping boxes with long suppression chains."""
+    for seed in range(3):
+        r = np.random.RandomState(seed)
+        n = 512
+        centers = r.uniform(20, 80, (n, 2))
+        wh = r.uniform(10, 40, (n, 2))
+        boxes = np.concatenate([centers - wh / 2, centers + wh / 2], 1).astype(np.float32)
+        scores = r.uniform(0, 1, n).astype(np.float32)
+        keep = np.asarray(nms.nms_mask(jnp.asarray(boxes), jnp.asarray(scores), 0.5))
+        assert sorted(np.nonzero(keep)[0].tolist()) == \
+            _ref_greedy_nms(boxes, scores, 0.5), seed
+
+
 def test_nms_mask_respects_valid():
     boxes = jnp.array([[0, 0, 10, 10], [100, 100, 110, 110]], jnp.float32)
     scores = jnp.array([0.9, 0.8])

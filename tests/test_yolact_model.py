@@ -1,0 +1,99 @@
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from instancesegmentation_tpu.models.yolact.model import Yolact
+from instancesegmentation_tpu.ops.anchors import yolact_anchors
+
+
+@pytest.fixture(scope="module")
+def small_model():
+    model = Yolact(num_classes=4, train_mode=True, dtype=jnp.float32)
+    x = np.zeros((2, 64, 64, 3), np.float32)
+    variables = model.init({"params": jax.random.key(0)}, x, train=True)
+    return model, variables
+
+
+def test_forward_shapes_match_anchor_count(small_model):
+    model, variables = small_model
+    x = np.random.RandomState(0).randn(2, 64, 64, 3).astype(np.float32)
+    boxes, classes, coefs, proto, segs = model.apply(
+        variables, x, train=True, mutable=["batch_stats"])[0]
+    a = yolact_anchors((64, 64)).shape[0]
+    assert boxes.shape == (2, a, 4)
+    assert classes.shape == (2, a, 4)
+    assert coefs.shape == (2, a, 32)
+    assert proto.shape == (2, 16, 16, 32)       # input/4
+    assert segs.shape == (2, 8, 8, 3)           # P3 res, num_classes-1
+    # tanh bound on coefficients (yolact.py:109-112)
+    assert np.abs(np.asarray(coefs)).max() <= 1.0 + 1e-5
+
+
+def test_eval_mode_softmax(small_model):
+    model, variables = small_model
+    eval_model = Yolact(num_classes=4, train_mode=False, dtype=jnp.float32)
+    x = np.random.RandomState(0).randn(1, 64, 64, 3).astype(np.float32)
+    out = eval_model.apply(variables, x, train=False)
+    assert len(out) == 4
+    probs = np.asarray(out[1])
+    np.testing.assert_allclose(probs.sum(-1), 1.0, atol=1e-5)
+    assert probs.min() >= 0
+
+
+def test_batch_stats_update_only_in_train(small_model):
+    model, variables = small_model
+    x = np.random.RandomState(1).randn(2, 64, 64, 3).astype(np.float32) * 5
+    _, mut = model.apply(variables, x, train=True, mutable=["batch_stats"])
+    old = jax.tree_util.tree_leaves(variables["batch_stats"])
+    new = jax.tree_util.tree_leaves(mut["batch_stats"])
+    assert any(not np.allclose(o, n) for o, n in zip(old, new))
+
+
+def test_loss_padded_invariance(small_model):
+    """Adding extra padded gt slots must not change any loss value."""
+    from instancesegmentation_tpu.models.yolact.loss import multi_loss
+    model, variables = small_model
+    x = np.random.RandomState(2).randn(2, 64, 64, 3).astype(np.float32)
+    preds = model.apply(variables, x, train=True, mutable=["batch_stats"])[0]
+    anchors = jnp.asarray(yolact_anchors((64, 64)))
+
+    def batch(g):
+        b = {"boxes": np.zeros((2, g, 4), np.float32),
+             "labels": np.zeros((2, g), np.int32),
+             "masks": np.zeros((2, g, 16, 16), np.uint8),
+             "valid": np.zeros((2, g), bool),
+             "is_crowd": np.zeros((2, g), bool), "anchors": anchors}
+        b["boxes"][:, 0] = [0.2, 0.2, 0.7, 0.8]
+        b["labels"][:, 0] = 1
+        b["masks"][:, 0, 4:12, 4:12] = 1
+        b["valid"][:, 0] = True
+        return {k: jnp.asarray(v) for k, v in b.items()}
+
+    rng = jax.random.key(0)
+    l4 = multi_loss(preds, batch(4), rng, num_classes=4)
+    l9 = multi_loss(preds, batch(9), rng, num_classes=4)
+    for k in l4:
+        np.testing.assert_allclose(np.asarray(l4[k]), np.asarray(l9[k]),
+                                   rtol=1e-5, atol=1e-6, err_msg=k)
+        assert np.isfinite(float(l4[k]))
+
+
+def test_loss_all_constants_applied(small_model):
+    """B/C/M normalized by total positives; S by batch (yolact_training
+    .py:181-186). With no positives, losses must be ~0 / finite."""
+    from instancesegmentation_tpu.models.yolact.loss import multi_loss
+    model, variables = small_model
+    x = np.random.RandomState(3).randn(2, 64, 64, 3).astype(np.float32)
+    preds = model.apply(variables, x, train=True, mutable=["batch_stats"])[0]
+    anchors = jnp.asarray(yolact_anchors((64, 64)))
+    g = 4
+    empty = {"boxes": jnp.zeros((2, g, 4)), "labels": jnp.zeros((2, g), jnp.int32),
+             "masks": jnp.zeros((2, g, 16, 16), jnp.uint8),
+             "valid": jnp.zeros((2, g), bool),
+             "is_crowd": jnp.zeros((2, g), bool), "anchors": anchors}
+    out = multi_loss(preds, empty, jax.random.key(0), num_classes=4)
+    assert float(out["B"]) == 0.0
+    assert float(out["M"]) == 0.0
+    assert np.isfinite(float(out["C"]))
+    assert np.isfinite(float(out["S"]))

@@ -1,0 +1,79 @@
+#!/usr/bin/env python
+"""Train CLI.
+
+Mirrors the reference entry point (/root/reference/train.py:15-68):
+``--config`` names a registered config, CLI overrides win, the full option
+dump goes to <out>/commandline_args.txt, seeding is deterministic. No
+``--distributed``/``--local_rank`` flags: the mesh covers every visible
+device automatically (one process per host on TPU).
+
+Examples:
+  python train.py --config yolact_base --data_root ./dataset
+  python train.py --config yolact_synth --smoke
+"""
+
+import argparse
+import json
+import os
+import sys
+
+
+def parse_args(argv=None):
+    p = argparse.ArgumentParser(description=__doc__)
+    p.add_argument("--config", type=str, default="yolact_base",
+                   help="registered config name (see --list)")
+    p.add_argument("--list", action="store_true", help="list configs and exit")
+    p.add_argument("--resume", action="store_true",
+                   help="resume from last_epoch_weights")
+    p.add_argument("--data_root", type=str, default=None)
+    p.add_argument("--out_root", type=str, default=None)
+    p.add_argument("--epochs", type=int, default=None,
+                   help="override UnFreeze_Epoch (total epochs)")
+    p.add_argument("--batch_size", type=int, default=None,
+                   help="override freeze-phase batch size")
+    p.add_argument("--smoke", action="store_true",
+                   help="cap epochs/steps for a quick end-to-end check")
+    p.add_argument("--f32", action="store_true",
+                   help="disable bf16 mixed precision (the reference's "
+                        "fp16 flag, inverted: bf16 is the default on TPU)")
+    return p.parse_args(argv)
+
+
+def main(argv=None):
+    args = parse_args(argv)
+    from instancesegmentation_tpu.config import get_config, list_configs
+
+    if args.list:
+        print("\n".join(list_configs()))
+        return 0
+
+    overrides = {}
+    for key, attr in (("data_root", "data_root"), ("out_root", "out_root"),
+                      ("epochs", "unfreeze_epoch"),
+                      ("batch_size", "freeze_batch_size")):
+        v = getattr(args, key)
+        if v is not None:
+            overrides[attr] = v
+    cfg = get_config(args.config, **overrides)
+    if args.smoke:
+        cfg = cfg.replace(unfreeze_epoch=min(cfg.unfreeze_epoch, 2),
+                          freeze_epoch=min(cfg.freeze_epoch, 1))
+    if args.f32:
+        cfg = cfg.replace(mixed_precision=False)
+
+    out_dir = os.path.join(cfg.out_root, cfg.name)
+    os.makedirs(out_dir, exist_ok=True)
+    with open(os.path.join(out_dir, "commandline_args.txt"), "w") as f:
+        json.dump({**vars(args), "config": cfg.__dict__.__repr__()}, f,
+                  indent=2, default=str)
+
+    from instancesegmentation_tpu.train.trainer import Trainer
+    trainer = Trainer(cfg, resume=args.resume,
+                      max_steps_per_epoch=8 if args.smoke else None)
+    result = trainer.train()
+    print(json.dumps({"final": result}))
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
