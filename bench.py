@@ -21,8 +21,16 @@ BASELINE_FPS = 42.5
 
 
 def main():
+    import os
+
     import jax
     import numpy as np
+
+    # persistent compile cache: TPU remote compiles are expensive
+    jax.config.update("jax_compilation_cache_dir",
+                      os.environ.get("JAX_COMPILATION_CACHE_DIR",
+                                     "/root/.cache/jax_bench"))
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
     from instancesegmentation_tpu.config import get_config
     from instancesegmentation_tpu.models import get_model
@@ -32,8 +40,15 @@ def main():
     cfg = get_config("yolact_base", mixed_precision=True)
     model = get_model(cfg, train_mode=False)
     rng = jax.random.key(0)
-    image = jax.random.normal(rng, (1,) + tuple(cfg.input_shape) + (3,))
-    variables = model.init({"params": rng}, image, train=False)
+    # init on host CPU (a throwaway random net); only the inference graph
+    # is compiled for the accelerator
+    with jax.default_device(jax.devices("cpu")[0]):
+        image_h = np.random.RandomState(0).randn(
+            1, *cfg.input_shape, 3).astype(np.float32)
+        variables = model.init({"params": rng}, image_h, train=False)
+    device = jax.devices()[0]
+    image = jax.device_put(image_h, device)
+    variables = jax.device_put(variables, device)
 
     anchors = yolact_anchors(cfg.input_shape, cfg.anchors_size)
     infer = jax.jit(make_infer_fn(model, anchors, cfg.confidence,

@@ -48,7 +48,18 @@ def main(argv=None):
         from instancesegmentation_tpu.models.yolact.predictor import _load_variables
         variables = _load_variables(cfg, args.checkpoint, model)
     else:
-        variables = model.init({"params": jax.random.key(0)}, image, train=False)
+        # init on host CPU (slow to compile on the TPU remote path)
+        try:
+            cpu = jax.devices("cpu")[0]
+        except RuntimeError:
+            cpu = None
+        if cpu is not None:
+            with jax.default_device(cpu):
+                variables = model.init({"params": jax.random.key(0)}, image,
+                                       train=False)
+        else:
+            variables = model.init({"params": jax.random.key(0)}, image,
+                                   train=False)
 
     anchors = yolact_anchors(cfg.input_shape, cfg.anchors_size)
     conf = args.confidence if args.confidence is not None else cfg.confidence

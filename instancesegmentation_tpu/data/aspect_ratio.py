@@ -1,0 +1,84 @@
+"""Aspect-ratio-grouped batching.
+
+Port of the reference's GroupedBatchSampler stack
+(/root/reference/utils/utils.py:65-251: quantize w/h ratios into 2k+1 bins
+over [1/2, 2], draw each batch from one bin, deterministic length via
+repeat-fill). The reference wires it only for Mask R-CNN
+(models/init_model.py:98-125) to bound padding waste under variable-size
+batching; with this framework's fixed square resize it is a no-op for the
+default configs, but it becomes load-bearing the moment multi-bucket
+resolutions are enabled, so it ships as a first-class sampler.
+"""
+
+from __future__ import annotations
+
+import bisect
+import math
+from collections import defaultdict
+from typing import List, Sequence
+
+import numpy as np
+
+
+def compute_aspect_ratios(dataset) -> List[float]:
+    """w/h per image, from COCO metadata (no decode — utils/utils.py:
+    get_height_and_width fast path)."""
+    out = []
+    for image_id in dataset.ids:
+        info = dataset.coco.loadImgs(image_id)[0]
+        out.append(info["width"] / info["height"])
+    return out
+
+
+def create_aspect_ratio_groups(dataset, k: int = 0) -> List[int]:
+    """Group id per sample: 2k+1 log-spaced bins over [0.5, 2]
+    (utils/utils.py:237-251)."""
+    aspect_ratios = compute_aspect_ratios(dataset)
+    bins = (2 ** np.linspace(-1, 1, 2 * k + 1)).tolist() if k > 0 else [1.0]
+    groups = [bisect.bisect_right(bins, r) for r in aspect_ratios]
+    counts = np.bincount(groups, minlength=len(bins) + 1)
+    fbins = [0] + bins + [np.inf]
+    print(f"Using {fbins} as bins for aspect ratio quantization")
+    print(f"Count of instances per bin: {list(counts)}")
+    return groups
+
+
+class GroupedBatchSampler:
+    """Yield index batches where every element is from one ratio group;
+    groups short of a full batch at epoch end are repeat-filled from their
+    own tail so every epoch has the same number of batches
+    (utils/utils.py:73-134)."""
+
+    def __init__(self, group_ids: Sequence[int], batch_size: int,
+                 seed: int = 704):
+        self.group_ids = list(group_ids)
+        self.batch_size = batch_size
+        self.seed = seed
+
+    def __len__(self):
+        return math.ceil(len(self.group_ids) / self.batch_size)
+
+    def epoch(self, epoch: int = 0) -> List[List[int]]:
+        order = np.arange(len(self.group_ids))
+        np.random.RandomState(self.seed + epoch).shuffle(order)
+
+        buffers = defaultdict(list)
+        seen = defaultdict(list)
+        batches: List[List[int]] = []
+        for idx in order:
+            g = self.group_ids[idx]
+            buffers[g].append(int(idx))
+            seen[g].append(int(idx))
+            if len(buffers[g]) == self.batch_size:
+                batches.append(buffers.pop(g))
+
+        # repeat-fill remaining partial groups (reference :118-133)
+        target = len(self)
+        for g, buf in sorted(buffers.items()):
+            if len(batches) >= target:
+                break
+            pool = seen[g]
+            while len(buf) < self.batch_size:
+                buf.append(pool[len(buf) % len(pool)])
+            batches.append(buf)
+        return batches[:target]

@@ -108,15 +108,41 @@ def ema_update(ema_params, new_params, step, decay: float, tau: float):
 
 
 def create_train_state(model, cfg, rng, sample_image, lr: float,
-                       frozen_backbone: bool) -> TrainState:
-    variables = model.init({"params": rng}, sample_image, train=True)
-    params = variables["params"]
-    batch_stats = variables.get("batch_stats", {})
-    tx = make_phase_optimizer(cfg, lr, frozen_backbone, params)
-    return TrainState(
-        step=jnp.zeros((), jnp.int32),
-        params=params,
-        batch_stats=batch_stats,
-        opt_state=tx.init(params),
-        ema_params=jax.tree_util.tree_map(jnp.copy, params) if cfg.ema else None,
-    )
+                       frozen_backbone: bool, mesh=None) -> TrainState:
+    """Initialize the full train state.
+
+    The init graph runs on host CPU (it compiles pathologically slowly
+    through the TPU remote-compile path and has no reuse); the state is
+    then placed replicated on the mesh (or left for jit to move on the
+    first step when no mesh is given).
+    """
+    try:
+        cpu = jax.devices("cpu")[0]
+    except RuntimeError:
+        cpu = None
+
+    def init():
+        variables = model.init({"params": rng}, sample_image, train=True)
+        params = variables["params"]
+        batch_stats = variables.get("batch_stats", {})
+        tx = make_phase_optimizer(cfg, lr, frozen_backbone, params)
+        return TrainState(
+            step=jnp.zeros((), jnp.int32),
+            params=params,
+            batch_stats=batch_stats,
+            opt_state=tx.init(params),
+            ema_params=(jax.tree_util.tree_map(jnp.copy, params)
+                        if cfg.ema else None),
+        )
+
+    if cpu is not None:
+        with jax.default_device(cpu):
+            state = init()
+    else:
+        state = init()
+
+    if mesh is not None:
+        from jax.sharding import NamedSharding, PartitionSpec
+        replicated = NamedSharding(mesh, PartitionSpec())
+        state = jax.device_put(state, replicated)
+    return state

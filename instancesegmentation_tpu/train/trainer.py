@@ -96,7 +96,26 @@ class Trainer:
         sample = np.zeros((self.batch_size,) + tuple(cfg.input_shape) + (3,),
                           np.float32)
         self.state = create_train_state(self.model, cfg, rng, sample,
-                                        init_fit, self.frozen)
+                                        init_fit, self.frozen, mesh=self.mesh)
+        if cfg.pretrained and cfg.model_path:
+            # reference loads torch resnet50 weights into the backbone with
+            # a shape-filtered merge (trainer.py:59-69, yolact.py:131-133)
+            from instancesegmentation_tpu.utils.torch_weights import (
+                load_torch_resnet50, merge_backbone_params)
+            bp, bs = load_torch_resnet50(cfg.model_path)
+            new_params, new_stats = merge_backbone_params(
+                self.state.params, bp, self.state.batch_stats, bs)
+            self.state = self.state.replace(params=new_params,
+                                            batch_stats=new_stats)
+            log.info("loaded pretrained backbone from %s", cfg.model_path)
+        try:
+            # torchinfo-equivalent dump (utils/utils_info.py:6-14)
+            from instancesegmentation_tpu.utils.summary import write_info
+            write_info(get_model(cfg, train_mode=False),
+                       np.zeros((1,) + tuple(cfg.input_shape) + (3,),
+                                np.float32), self.out_dir)
+        except Exception as e:       # summary is best-effort
+            log.warning("model summary failed: %s", e)
         self.tx = make_phase_optimizer(cfg, init_fit, self.frozen,
                                        self.state.params)
         self._build_steps()
