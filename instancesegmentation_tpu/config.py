@@ -69,6 +69,9 @@ class Config:
     seed: int = 704                        # train.py:52 via configs/*:158
     out_root: str = "output"
     save_period: int = 1
+    keep_epoch_checkpoints: bool = False  # per-epoch ep### snapshots
+                                          # (reference saves them; off by
+                                          # default to cut checkpoint I/O)
 
     # eval / inference (inst_model/yolact/yolact.py:22-60, eval.py:67-68)
     confidence: float = 0.5

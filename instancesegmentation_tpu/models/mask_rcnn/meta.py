@@ -37,7 +37,8 @@ from instancesegmentation_tpu.ops import boxes as box_ops
 from instancesegmentation_tpu.ops.anchors import (fpn_feature_sizes,
                                                   rcnn_grid_anchors,
                                                   rcnn_level_sizes)
-from instancesegmentation_tpu.ops.roi_align import multiscale_roi_align
+from instancesegmentation_tpu.ops.roi_align import \
+    multiscale_roi_align_separable as multiscale_roi_align
 
 PRE_NMS_TOPK_TRAIN = 2000     # faster_rcnn_framework.py:261
 PRE_NMS_TOPK_TEST = 1000

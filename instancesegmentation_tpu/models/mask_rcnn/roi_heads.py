@@ -117,8 +117,9 @@ def maskrcnn_loss(mask_logits: jnp.ndarray, mask_rois: jnp.ndarray,
     # project gt masks onto rois at 28x28 (project_masks_on_boxes: roi_align
     # with spatial_scale=1 on the matched instance's mask)
     def project(roi, gi):
-        return ra.roi_align(gt_masks[gi].astype(jnp.float32)[:, :, None],
-                            roi[None], (oh, ow), 1.0, 2)[0, :, :, 0]
+        return ra.roi_align_separable(
+            gt_masks[gi].astype(jnp.float32)[:, :, None],
+            roi[None], (oh, ow), 1.0, 2)[0, :, :, 0]
     targets = jax.vmap(project)(mask_rois, roi_gt_idx)     # (M, 28, 28)
 
     picked = jnp.take_along_axis(

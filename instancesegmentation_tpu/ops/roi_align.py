@@ -81,6 +81,91 @@ def roi_align(feat: jnp.ndarray, rois: jnp.ndarray, out_size: Tuple[int, int],
     return samples.mean(axis=(2, 4))              # (R, oh, ow, C)
 
 
+def _interp_pool_matrix(starts: jnp.ndarray, bins: jnp.ndarray, size: int,
+                        out_bins: int, sampling_ratio: int, dtype
+                        ) -> jnp.ndarray:
+    """Per-roi 1-D interpolation+pooling operator B (out_bins, size).
+
+    B[i, h] = mean over the roi's ``sampling_ratio`` samples in bin i of the
+    bilinear weight each sample places on source index h. RoIAlign is then
+    the bilinear-sampled, bin-averaged map  out = B_y @ feat @ B_x^T  —
+    bilinear sampling and average pooling are both linear, so the whole op
+    folds into two dense matmuls that run on the MXU instead of gathers.
+
+    starts: (R,) roi start coordinate (scaled); bins: (R,) bin size.
+    Returns (R, out_bins, size).
+    """
+    s = sampling_ratio
+    off = (jnp.arange(s, dtype=dtype) + 0.5) / s                   # (s,)
+    # sample coords: (R, out_bins, s)
+    coords = (starts[:, None, None]
+              + (jnp.arange(out_bins, dtype=dtype)[None, :, None]
+                 + off[None, None, :]) * bins[:, None, None])
+    valid = (coords >= -1.0) & (coords <= size)
+    c = jnp.clip(coords, 0.0, size - 1)
+    c0 = jnp.floor(c)
+    frac = c - c0
+    c0i = c0.astype(jnp.int32)
+    c1i = jnp.minimum(c0i + 1, size - 1)
+
+    iota = jnp.arange(size, dtype=jnp.int32)                        # (size,)
+    w0 = ((iota == c0i[..., None]) * (1.0 - frac[..., None])
+          + (iota == c1i[..., None]) * frac[..., None])             # (R,ob,s,size)
+    w0 = w0 * valid[..., None]
+    return jnp.mean(w0, axis=2).astype(dtype)                       # (R,ob,size)
+
+
+def roi_align_separable(feat: jnp.ndarray, rois: jnp.ndarray,
+                        out_size: Tuple[int, int], spatial_scale: float,
+                        sampling_ratio: int = 2) -> jnp.ndarray:
+    """MXU formulation of roi_align (exactly equal to ``roi_align``).
+
+    feat (H, W, C); rois (R, 4) image-coord xyxy -> (R, oh, ow, C).
+    Cost per roi ~= oh*H*W*C + oh*ow*W*C MACs — tiny on the MXU and with
+    no gathers, so it vectorizes over rois and levels with no dynamic
+    memory access (SURVEY §2.9's "most important custom kernel", done as
+    matmuls rather than a Pallas gather loop).
+    """
+    oh, ow = out_size
+    dtype = feat.dtype
+    roi = rois.astype(jnp.float32) * spatial_scale
+    x1, y1 = roi[:, 0], roi[:, 1]
+    roi_w = jnp.maximum(roi[:, 2] - roi[:, 0], 1.0)
+    roi_h = jnp.maximum(roi[:, 3] - roi[:, 1], 1.0)
+
+    by = _interp_pool_matrix(y1, roi_h / oh, feat.shape[0], oh,
+                             sampling_ratio, jnp.float32)           # (R,oh,H)
+    bx = _interp_pool_matrix(x1, roi_w / ow, feat.shape[1], ow,
+                             sampling_ratio, jnp.float32)           # (R,ow,W)
+
+    tmp = jnp.einsum("ryh,hwc->rywc", by, feat.astype(jnp.float32),
+                     preferred_element_type=jnp.float32)
+    out = jnp.einsum("rywc,rxw->ryxc", tmp, bx,
+                     preferred_element_type=jnp.float32)
+    return out.astype(dtype)
+
+
+def multiscale_roi_align_separable(feats: Sequence[jnp.ndarray],
+                                   rois: jnp.ndarray,
+                                   out_size: Tuple[int, int],
+                                   spatial_scales: Sequence[float],
+                                   sampling_ratio: int = 2) -> jnp.ndarray:
+    """MultiScaleRoIAlign via the separable-matmul kernel.
+
+    Computes every level and selects per-roi by the canonical assignment;
+    with the matmul formulation the extra levels cost ~1.3x of the finest
+    level alone (cost scales with level H), so the branch-free form wins.
+    """
+    levels = fpn_level_assignment(rois)
+    sel = jax.nn.one_hot(levels, len(feats), dtype=jnp.float32)     # (R, L)
+    out = None
+    for li, (f, sc) in enumerate(zip(feats, spatial_scales)):
+        o = roi_align_separable(f, rois, out_size, sc, sampling_ratio)
+        o = o * sel[:, li][:, None, None, None].astype(o.dtype)
+        out = o if out is None else out + o
+    return out
+
+
 def fpn_level_assignment(rois: jnp.ndarray, k_min: int = 2, k_max: int = 5,
                          canonical_scale: float = 224.0,
                          canonical_level: int = 4) -> jnp.ndarray:

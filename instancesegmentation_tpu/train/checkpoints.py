@@ -29,11 +29,15 @@ class CheckpointIO:
         self._ckptr.save(self._path(name), state, force=True)
 
     def save_epoch(self, epoch: int, state: Any, train_loss: float,
-                   val_loss: float, is_best: bool):
+                   val_loss: float, is_best: bool,
+                   keep_epoch_files: bool = False):
         """Reference naming: ep%03d-loss%.3f-val_loss%.3f + best/last
-        (models/script.py:134-144)."""
-        self.save(f"ep{epoch + 1:03d}-loss{train_loss:.3f}-val_loss{val_loss:.3f}",
-                  state)
+        (models/script.py:134-144). Per-epoch snapshot files are opt-in:
+        best+last cover resume/deploy, and a full-state snapshot per epoch
+        triples checkpoint I/O for no benefit."""
+        if keep_epoch_files:
+            self.save(f"ep{epoch + 1:03d}-loss{train_loss:.3f}"
+                      f"-val_loss{val_loss:.3f}", state)
         if is_best:
             self.save("best_epoch_weights", state)
         self.save("last_epoch_weights", state)

@@ -213,7 +213,9 @@ class Trainer:
             best = self.history.best_val
             is_best = best is not None and va_loss <= best
             if (epoch + 1) % cfg.save_period == 0 or epoch + 1 == cfg.unfreeze_epoch:
-                self.ckpt.save_epoch(epoch, self.state, tr_loss, va_loss, is_best)
+                self.ckpt.save_epoch(epoch, self.state, tr_loss, va_loss,
+                                     is_best,
+                                     keep_epoch_files=cfg.keep_epoch_checkpoints)
             log.info("epoch %d/%d  lr %.2e  train %.4f  val %.4f  (%.1fs)",
                      epoch + 1, cfg.unfreeze_epoch, lr, tr_loss, va_loss, dt)
             result = {"epoch": epoch, "train_loss": tr_loss, "val_loss": va_loss}
@@ -223,22 +225,34 @@ class Trainer:
 
     def _run_train_epoch(self, loader, epoch, rng, lr) -> float:
         total, n = 0.0, 0
-        for i, batch in enumerate(loader.epoch(epoch)):
-            if self.max_steps_per_epoch and i >= self.max_steps_per_epoch:
-                break
-            step_rng = jax.random.fold_in(rng, int(self.state.step))
-            device_batch = shard_batch(
-                {k: v for k, v in batch.items() if k != "image_id"}, self.mesh)
-            self.state, metrics = self.train_step(self.state, device_batch,
-                                                  step_rng)
+        step0 = int(self.state.step)
+        pending = None   # one-step-delayed host sync keeps the pipe full
+
+        def drain(metrics, step_id):
+            nonlocal total, n
             loss = float(metrics["total"])
             if not np.isfinite(loss):
                 # reference aborts on non-finite loss (models/script.py:205-208)
                 raise FloatingPointError(
-                    f"non-finite loss at step {int(self.state.step)}: {metrics}")
+                    f"non-finite loss at step {step_id}: "
+                    f"{jax.tree_util.tree_map(float, metrics)}")
             total += loss
             n += 1
-            self.history.step(loss, lr, int(self.state.step))
+            self.history.step(loss, lr, step_id)
+
+        for i, batch in enumerate(loader.epoch(epoch)):
+            if self.max_steps_per_epoch and i >= self.max_steps_per_epoch:
+                break
+            step_rng = jax.random.fold_in(rng, step0 + i)
+            device_batch = shard_batch(
+                {k: v for k, v in batch.items() if k != "image_id"}, self.mesh)
+            self.state, metrics = self.train_step(self.state, device_batch,
+                                                  step_rng)
+            if pending is not None:
+                drain(*pending)
+            pending = (metrics, step0 + i + 1)
+        if pending is not None:
+            drain(*pending)
         return total / max(n, 1)
 
     def _run_val_epoch(self, loader, epoch, rng) -> float:

@@ -14,16 +14,25 @@ import numpy as np
 def write_info(model, sample_input, out_dir: str, train: bool = False):
     os.makedirs(out_dir, exist_ok=True)
     path = os.path.join(out_dir, "model.txt")
+    # run everything on host CPU: summary graphs compile pathologically
+    # slowly through the TPU remote-compile path
     try:
-        import flax.linen as nn
-        table = nn.tabulate(
-            model, jax.random.key(0),
-            compute_flops=False, compute_vjp_flops=False)(
-            sample_input, train)
-    except Exception as e:   # tabulate is best-effort; counts still written
-        table = f"(tabulate unavailable: {e})\n"
-    variables = model.init({"params": jax.random.key(0)}, sample_input,
-                           train=train)
+        cpu = jax.devices("cpu")[0]
+    except RuntimeError:
+        cpu = None
+    import contextlib
+    ctx = jax.default_device(cpu) if cpu is not None else contextlib.nullcontext()
+    with ctx:
+        try:
+            import flax.linen as nn
+            table = nn.tabulate(
+                model, jax.random.key(0),
+                compute_flops=False, compute_vjp_flops=False)(
+                sample_input, train)
+        except Exception as e:  # tabulate is best-effort; counts still written
+            table = f"(tabulate unavailable: {e})\n"
+        variables = model.init({"params": jax.random.key(0)}, sample_input,
+                               train=train)
     n_params = sum(int(np.prod(x.shape))
                    for x in jax.tree_util.tree_leaves(variables["params"]))
     n_bytes = sum(x.size * x.dtype.itemsize

@@ -52,6 +52,44 @@ def test_roi_align_matches_golden(rng, scale, sr):
     np.testing.assert_allclose(ours, golden, rtol=1e-4, atol=1e-4)
 
 
+@pytest.mark.parametrize("scale,sr", [(1.0, 2), (0.25, 2), (0.5, 4), (0.25, 1)])
+def test_roi_align_separable_equals_gather(rng, scale, sr):
+    feat = rng.randn(24, 32, 8).astype(np.float32)
+    rois = np.array([[4, 4, 40, 60], [0, 0, 16, 16], [10, 6, 90, 80],
+                     [2.5, 3.5, 30.2, 44.9], [0, 0, 0, 0]], np.float32)
+    a = np.asarray(ra.roi_align(jnp.asarray(feat), jnp.asarray(rois),
+                                (7, 7), scale, sr))
+    b = np.asarray(ra.roi_align_separable(jnp.asarray(feat),
+                                          jnp.asarray(rois), (7, 7), scale, sr))
+    np.testing.assert_allclose(a, b, rtol=1e-4, atol=1e-4)
+
+
+def test_multiscale_separable_equals_gather(rng):
+    feats = [jnp.asarray(rng.randn(32, 32, 4).astype(np.float32)),
+             jnp.asarray(rng.randn(16, 16, 4).astype(np.float32)),
+             jnp.asarray(rng.randn(8, 8, 4).astype(np.float32)),
+             jnp.asarray(rng.randn(4, 4, 4).astype(np.float32))]
+    scales = [1 / 4, 1 / 8, 1 / 16, 1 / 32]
+    rois = jnp.array([[0, 0, 32, 32], [0, 0, 224, 224], [5, 5, 100, 60]],
+                     jnp.float32)
+    a = np.asarray(ra.multiscale_roi_align(feats, rois, (7, 7), scales))
+    b = np.asarray(ra.multiscale_roi_align_separable(feats, rois, (7, 7),
+                                                     scales))
+    np.testing.assert_allclose(a, b, rtol=1e-4, atol=1e-4)
+
+
+def test_roi_align_separable_gradients_flow():
+    import jax
+    feat = jnp.ones((16, 16, 4))
+    rois = jnp.array([[2.0, 2.0, 10.0, 10.0]])
+
+    def f(x):
+        return ra.roi_align_separable(x, rois, (7, 7), 1.0, 2).sum()
+    g = jax.grad(f)(feat)
+    assert np.isfinite(np.asarray(g)).all()
+    assert float(jnp.abs(g).sum()) > 0
+
+
 def test_roi_align_zero_roi_gives_zeros():
     feat = jnp.ones((16, 16, 4))
     rois = jnp.zeros((2, 4))
