@@ -124,6 +124,12 @@ def get_config(name: str, **overrides) -> Config:
     cfg = _REGISTRY[name]()
     if overrides:
         cfg = cfg.replace(**overrides)
+    if not cfg.class_names and cfg.classes_path:
+        # resolve a class list file (model_data/*.txt, the reference's
+        # get_classes — inst_model/yolact/utils/utils.py:27-31)
+        with open(cfg.classes_path, encoding="utf-8") as f:
+            names = tuple(c.strip() for c in f if c.strip())
+        cfg = cfg.replace(class_names=names)
     return cfg
 
 
@@ -153,6 +159,40 @@ def _mask_rcnn_base() -> Config:
                   freeze_batch_size=4, unfreeze_batch_size=2,
                   init_lr=5e-3, optimizer_type="sgd", momentum=0.9,
                   weight_decay=5e-4, max_instances=48)
+
+
+@register("yolact_coco")
+def _yolact_coco() -> Config:
+    """YOLACT-R50 on COCO2017 (the reference's coco branch —
+    annotation/coco.py, configs/yolact_base.py with exp_name='coco')."""
+    return Config(name="yolact_coco", net="yolact", exp_name="coco",
+                  classes_path="model_data/coco_classes.txt",
+                  max_instances=96)
+
+
+@register("mask_rcnn_coco")
+def _mask_rcnn_coco() -> Config:
+    return Config(name="mask_rcnn_coco", net="mask_rcnn", exp_name="coco",
+                  classes_path="model_data/coco_classes.txt",
+                  freeze_batch_size=4, unfreeze_batch_size=2,
+                  init_lr=5e-3, optimizer_type="sgd", momentum=0.9,
+                  weight_decay=5e-4, max_instances=96)
+
+
+@register("yolact_verseg")
+def _yolact_verseg() -> Config:
+    """Vertebra segmentation fine-tune (annotation/verseg.py, 1 class)."""
+    return Config(name="yolact_verseg", net="yolact", exp_name="verseg",
+                  class_names=("vertebra",), max_instances=32)
+
+
+@register("mask_rcnn_verseg")
+def _mask_rcnn_verseg() -> Config:
+    return Config(name="mask_rcnn_verseg", net="mask_rcnn",
+                  exp_name="verseg", class_names=("vertebra",),
+                  freeze_batch_size=4, unfreeze_batch_size=2,
+                  init_lr=5e-3, optimizer_type="sgd", momentum=0.9,
+                  weight_decay=5e-4, max_instances=32)
 
 
 @register("yolact_synth")

@@ -34,18 +34,27 @@ class RawDetections(NamedTuple):
 
 
 def make_infer_fn(model, anchors, confidence: float, nms_iou: float,
-                  top_k: int = 200, max_detections: int = 100):
+                  top_k: int = 200, max_detections: int = 100,
+                  traditional_nms: bool = False):
     """Build a jittable batch inference fn: images -> RawDetections.
 
-    ``model`` must be an eval-mode Yolact (softmaxed classes)."""
+    ``model`` must be an eval-mode Yolact (softmaxed classes).
+    ``traditional_nms`` selects the exact per-class NMS path
+    (utils_bbox.py:102-140) instead of Fast-NMS."""
     anchors = jnp.asarray(anchors)
 
     def single(pred_box, pred_class, pred_coef, proto):
         decoded = box_ops.decode_yolact(pred_box, anchors)
         scores = pred_class[:, 1:]                       # strip background
-        out = nms_ops.fast_nms(decoded, scores, pred_coef,
-                               score_thresh=confidence, iou_thresh=nms_iou,
-                               top_k=top_k, max_detections=max_detections)
+        if traditional_nms:
+            out = nms_ops.traditional_nms(
+                decoded, scores, pred_coef, score_thresh=confidence,
+                iou_thresh=nms_iou, max_detections=max_detections)
+        else:
+            out = nms_ops.fast_nms(decoded, scores, pred_coef,
+                                   score_thresh=confidence,
+                                   iou_thresh=nms_iou,
+                                   top_k=top_k, max_detections=max_detections)
         # proto (Hp, Wp, K) @ coef (D, K) -> (D, Hp, Wp), on the MXU
         probs = jax.nn.sigmoid(
             jnp.einsum("hwk,dk->dhw", proto, out.coefs))

@@ -52,7 +52,8 @@ class YolactPredictor:
         self.variables = variables
 
         infer = make_infer_fn(self.model, self.anchors, self.confidence,
-                              self.nms_iou, cfg.top_k, cfg.max_detections)
+                              self.nms_iou, cfg.top_k, cfg.max_detections,
+                              traditional_nms=cfg.traditional_nms)
         self._infer = jax.jit(infer)
 
     # ------------------------------------------------------------------
@@ -70,6 +71,17 @@ class YolactPredictor:
         raw = self._infer(self.variables, batch)
         raw0 = jax.tree_util.tree_map(lambda x: np.asarray(x[0]), raw)
         return finish_detections(raw0, image_rgb.shape[:2])
+
+    def raw_detect_batch(self, images_rgb):
+        """Batched inference over a list of images (one device dispatch for
+        the whole batch — the high-throughput path for dir_predict/video).
+        Note: a new batch size triggers one extra XLA compile."""
+        batch = np.concatenate([self._preprocess(im) for im in images_rgb])
+        raw = self._infer(self.variables, batch)
+        raw = jax.tree_util.tree_map(np.asarray, raw)
+        return [finish_detections(
+            jax.tree_util.tree_map(lambda x, i=i: x[i], raw),
+            images_rgb[i].shape[:2]) for i in range(len(images_rgb))]
 
     # -- reference API ---------------------------------------------------
     def detect_image(self, image_rgb: np.ndarray) -> np.ndarray:

@@ -127,6 +127,40 @@ def batched_nms_mask(boxes: jnp.ndarray, scores: jnp.ndarray,
     return nms_mask(boxes + offsets[:, None], scores, iou_thresh, valid)
 
 
+def traditional_nms(boxes: jnp.ndarray, scores: jnp.ndarray,
+                    coefs: jnp.ndarray, score_thresh: float,
+                    iou_thresh: float, pre_top_k: int = 1000,
+                    max_detections: int = 100) -> FastNMSOut:
+    """YOLACT's 'traditional' per-class exact NMS
+    (utils_bbox.py:102-140): each anchor belongs to its argmax class, exact
+    greedy NMS per class on the max-class score, global top
+    max_detections. Static-shape version: pre-filter to the pre_top_k
+    highest max-scores, then one vmapped fixpoint NMS per class.
+    """
+    a, c = scores.shape
+    max_score = jnp.max(scores, axis=1)
+    arg_class = jnp.argmax(scores, axis=1).astype(jnp.int32)
+    keep_anchor = max_score > score_thresh
+
+    k = min(pre_top_k, a)
+    top_scores, idx = jax.lax.top_k(jnp.where(keep_anchor, max_score, 0.0), k)
+    top_boxes = boxes[idx]
+    top_coefs = coefs[idx]
+    top_class = arg_class[idx]
+    top_valid = top_scores > score_thresh
+
+    def per_class(cls):
+        v = top_valid & (top_class == cls)
+        return nms_mask(top_boxes, top_scores, iou_thresh, v)
+    keep = jax.vmap(per_class)(jnp.arange(c)).any(axis=0)    # (k,)
+
+    masked = jnp.where(keep, top_scores, 0.0)
+    m = min(max_detections, k)
+    final_scores, fidx = jax.lax.top_k(masked, m)
+    return FastNMSOut(top_boxes[fidx], final_scores, top_class[fidx],
+                      top_coefs[fidx], final_scores > score_thresh)
+
+
 def topk_by_mask(scores: jnp.ndarray, keep: jnp.ndarray, k: int):
     """Select the k highest-scoring kept entries.
 

@@ -121,8 +121,17 @@ def create_train_state(model, cfg, rng, sample_image, lr: float,
     except RuntimeError:
         cpu = None
 
+    # bf16 graphs compile pathologically slowly on the CPU backend; params
+    # are f32 either way, so init with an f32 clone of the model
+    init_model = model
+    if getattr(model, "dtype", jnp.float32) != jnp.float32:
+        try:
+            init_model = model.clone(dtype=jnp.float32)
+        except Exception:
+            init_model = model
+
     def init():
-        variables = model.init({"params": rng}, sample_image, train=True)
+        variables = init_model.init({"params": rng}, sample_image, train=True)
         params = variables["params"]
         batch_stats = variables.get("batch_stats", {})
         tx = make_phase_optimizer(cfg, lr, frozen_backbone, params)

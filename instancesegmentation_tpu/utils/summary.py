@@ -21,6 +21,12 @@ def write_info(model, sample_input, out_dir: str, train: bool = False):
     except RuntimeError:
         cpu = None
     import contextlib
+    import jax.numpy as jnp
+    if getattr(model, "dtype", jnp.float32) != jnp.float32:
+        try:   # bf16 compiles pathologically slowly on CPU; f32 clone
+            model = model.clone(dtype=jnp.float32)
+        except Exception:
+            pass
     ctx = jax.default_device(cpu) if cpu is not None else contextlib.nullcontext()
     with ctx:
         try:

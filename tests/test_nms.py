@@ -84,6 +84,24 @@ def test_fast_nms_suppression():
     assert set(kept_classes) == {0, 1}
 
 
+def test_traditional_nms_matches_greedy_per_class():
+    boxes = jnp.array([[0.1, 0.1, 0.4, 0.4],
+                       [0.11, 0.1, 0.41, 0.4],    # suppressed by #0 (class 0)
+                       [0.6, 0.6, 0.9, 0.9],      # class 1
+                       [0.1, 0.1, 0.4, 0.4]])     # class 1, no class-0 conflict
+    scores = jnp.array([[0.9, 0.0],
+                        [0.8, 0.0],
+                        [0.0, 0.7],
+                        [0.0, 0.6]])
+    out = nms.traditional_nms(boxes, scores, jnp.ones((4, 8)),
+                              score_thresh=0.05, iou_thresh=0.5,
+                              pre_top_k=4, max_detections=5)
+    v = np.asarray(out.valid)
+    assert v.sum() == 3
+    kept = sorted(np.asarray(out.scores)[v].tolist(), reverse=True)
+    np.testing.assert_allclose(kept, [0.9, 0.7, 0.6], atol=1e-6)
+
+
 def test_fast_nms_score_threshold_filters_all():
     boxes = jnp.array([[0.1, 0.1, 0.4, 0.4]])
     scores = jnp.array([[0.01, 0.02]])
