@@ -212,9 +212,13 @@ class Trainer:
             self.history.epoch_loss(tr_loss, va_loss, epoch)
             best = self.history.best_val
             is_best = best is not None and va_loss <= best
+            # best is tracked EVERY epoch (models/script.py:140-142);
+            # save_period only throttles the last/epoch snapshots
+            if is_best:
+                self.ckpt.save("best_epoch_weights", self.state)
             if (epoch + 1) % cfg.save_period == 0 or epoch + 1 == cfg.unfreeze_epoch:
                 self.ckpt.save_epoch(epoch, self.state, tr_loss, va_loss,
-                                     is_best,
+                                     is_best=False,
                                      keep_epoch_files=cfg.keep_epoch_checkpoints)
             log.info("epoch %d/%d  lr %.2e  train %.4f  val %.4f  (%.1fs)",
                      epoch + 1, cfg.unfreeze_epoch, lr, tr_loss, va_loss, dt)
