@@ -12,12 +12,22 @@ Baseline 42.5 FPS = YOLACT paper R50-550 on Titan Xp (BASELINE.md: the
 reference repo publishes no numbers of its own; PAPERS.md arXiv 1904.02689).
 """
 
+import argparse
 import json
 import sys
 import time
 
 
 BASELINE_FPS = 42.5
+
+
+def parse_args(argv=None):
+    p = argparse.ArgumentParser(description=__doc__)
+    p.add_argument("--batch", type=int, default=1,
+                   help="inference batch size (default 1 = the reference's "
+                        "get_FPS protocol; larger batches amortize dispatch)")
+    p.add_argument("--iters", type=int, default=100)
+    return p.parse_args(argv)
 
 
 def main():
@@ -37,15 +47,19 @@ def main():
     from instancesegmentation_tpu.models.yolact.predict import make_infer_fn
     from instancesegmentation_tpu.ops.anchors import yolact_anchors
 
+    args = parse_args()
     cfg = get_config("yolact_base", mixed_precision=True)
     model = get_model(cfg, train_mode=False)
     rng = jax.random.key(0)
     # init on host CPU (a throwaway random net); only the inference graph
     # is compiled for the accelerator
+    import jax.numpy as jnp
     with jax.default_device(jax.devices("cpu")[0]):
         image_h = np.random.RandomState(0).randn(
-            1, *cfg.input_shape, 3).astype(np.float32)
-        variables = model.init({"params": rng}, image_h, train=False)
+            args.batch, *cfg.input_shape, 3).astype(np.float32)
+        init_model = (model.clone(dtype=jnp.float32)
+                      if cfg.mixed_precision else model)
+        variables = init_model.init({"params": rng}, image_h, train=False)
     device = jax.devices()[0]
     image = jax.device_put(image_h, device)
     variables = jax.device_put(variables, device)
@@ -61,16 +75,16 @@ def main():
         out = infer(variables, image)
     jax.block_until_ready(out)
 
-    iters = 100
     t0 = time.perf_counter()
-    for _ in range(iters):
+    for _ in range(args.iters):
         out = infer(variables, image)
     jax.block_until_ready(out)
-    dt = (time.perf_counter() - t0) / iters
+    dt = (time.perf_counter() - t0) / args.iters
 
-    fps = 1.0 / dt
+    fps = args.batch / dt
+    suffix = "" if args.batch == 1 else f"_b{args.batch}"
     print(json.dumps({
-        "metric": "yolact_r50_544_infer_fps",
+        "metric": f"yolact_r50_544_infer_fps{suffix}",
         "value": round(fps, 2),
         "unit": "img/s",
         "vs_baseline": round(fps / BASELINE_FPS, 3),

@@ -67,6 +67,14 @@ def main(argv=None):
     infer = make_infer_fn(model, anchors, conf, iou, cfg.top_k,
                           cfg.max_detections)
 
+    # namedtuple outputs need registered serialization
+    from instancesegmentation_tpu.models.yolact.predict import RawDetections
+    try:
+        jax.export.register_namedtuple_serialization(
+            RawDetections, serialized_name="instseg.RawDetections")
+    except ValueError:
+        pass  # already registered
+
     # close over weights: the artifact is self-contained like an .onnx file
     fn = jax.jit(lambda img: infer(variables, img))
     exported = jax.export.export(fn)(

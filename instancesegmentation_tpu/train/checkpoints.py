@@ -26,7 +26,14 @@ class CheckpointIO:
         return os.path.join(self.directory, name)
 
     def save(self, name: str, state: Any):
-        self._ckptr.save(self._path(name), state, force=True)
+        # 1) snapshot to host first: the trainer DONATES state buffers on
+        #    the next step, which races orbax's async device reads (hangs);
+        # 2) serialize saves: force=True deletes the target dir, which
+        #    races an in-flight async write to the same path.
+        import jax
+        host_state = jax.device_get(state)
+        self._ckptr.wait_until_finished()
+        self._ckptr.save(self._path(name), host_state, force=True)
 
     def save_epoch(self, epoch: int, state: Any, train_loss: float,
                    val_loss: float, is_best: bool,

@@ -48,6 +48,11 @@ from instancesegmentation_tpu.train.steps import (make_mask_rcnn_eval_step,
 log = logging.getLogger("instseg")
 
 
+def jnp_copy(x):
+    import jax.numpy as jnp
+    return jnp.copy(x) if hasattr(x, "dtype") else x
+
+
 class Trainer:
     def __init__(self, cfg: Config, resume: bool = False,
                  max_steps_per_epoch: Optional[int] = None):
@@ -212,11 +217,16 @@ class Trainer:
             self.history.epoch_loss(tr_loss, va_loss, epoch)
             best = self.history.best_val
             is_best = best is not None and va_loss <= best
-            # best is tracked EVERY epoch (models/script.py:140-142);
-            # save_period only throttles the last/epoch snapshots
+            # best is tracked EVERY epoch (models/script.py:140-142) as a
+            # cheap in-memory snapshot; disk writes are throttled to
+            # save_period (a full-state write costs seconds)
             if is_best:
-                self.ckpt.save("best_epoch_weights", self.state)
+                self._best_state = jax.tree_util.tree_map(jnp_copy, self.state)
+                self._best_dirty = True
             if (epoch + 1) % cfg.save_period == 0 or epoch + 1 == cfg.unfreeze_epoch:
+                if getattr(self, "_best_dirty", False):
+                    self.ckpt.save("best_epoch_weights", self._best_state)
+                    self._best_dirty = False
                 self.ckpt.save_epoch(epoch, self.state, tr_loss, va_loss,
                                      is_best=False,
                                      keep_epoch_files=cfg.keep_epoch_checkpoints)
@@ -224,6 +234,9 @@ class Trainer:
                      epoch + 1, cfg.unfreeze_epoch, lr, tr_loss, va_loss, dt)
             result = {"epoch": epoch, "train_loss": tr_loss, "val_loss": va_loss}
 
+        if getattr(self, "_best_dirty", False):
+            self.ckpt.save("best_epoch_weights", self._best_state)
+            self._best_dirty = False
         self.ckpt.wait()
         return result
 
