@@ -68,17 +68,23 @@ def main():
     infer = jax.jit(make_infer_fn(model, anchors, cfg.confidence,
                                   cfg.nms_iou, cfg.top_k, cfg.max_detections))
 
+    def sync(o):
+        # host materialization: on the tunneled backend block_until_ready
+        # returns at dispatch-ack, NOT completion — only a D2H forces the
+        # stream to drain
+        return float(np.asarray(o.scores).ravel()[0])
+
     # compile + warmup
     out = infer(variables, image)
-    jax.block_until_ready(out)
+    sync(out)
     for _ in range(5):
         out = infer(variables, image)
-    jax.block_until_ready(out)
+    sync(out)
 
     t0 = time.perf_counter()
     for _ in range(args.iters):
         out = infer(variables, image)
-    jax.block_until_ready(out)
+    sync(out)
     dt = (time.perf_counter() - t0) / args.iters
 
     fps = args.batch / dt

@@ -121,12 +121,12 @@ class MaskRCNNPredictor:
 
     def get_FPS(self, image_rgb: np.ndarray, test_interval: int = 100) -> float:
         batch = self._preprocess(image_rgb)
-        out = self._infer(self.variables, batch)
-        jax.block_until_ready(out)
+        dets, probs = self._infer(self.variables, batch)
+        np.asarray(dets.scores)   # host sync (see yolact predictor note)
         t0 = time.time()
         for _ in range(test_interval):
-            out = self._infer(self.variables, batch)
-        jax.block_until_ready(out)
+            dets, probs = self._infer(self.variables, batch)
+        np.asarray(dets.scores)
         return (time.time() - t0) / test_interval
 
     def get_map_out(self, image_rgb: np.ndarray):

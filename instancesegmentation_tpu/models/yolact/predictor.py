@@ -111,14 +111,15 @@ class YolactPredictor:
 
     def get_FPS(self, image_rgb: np.ndarray, test_interval: int = 100) -> float:
         """Mean seconds/iter over test_interval forward+decode loops
-        (yolact.py:201-243); block_until_ready replaces cuda sync."""
+        (yolact.py:201-243). The sync is a host materialization — on
+        tunneled backends block_until_ready acks dispatch, not completion."""
         batch = self._preprocess(image_rgb)
         raw = self._infer(self.variables, batch)       # warmup/compile
-        jax.block_until_ready(raw)
+        np.asarray(raw.scores)
         t0 = time.time()
         for _ in range(test_interval):
             raw = self._infer(self.variables, batch)
-        jax.block_until_ready(raw)
+        np.asarray(raw.scores)
         return (time.time() - t0) / test_interval
 
     def get_map_out(self, image_rgb: np.ndarray):
