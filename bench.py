@@ -12,6 +12,11 @@ Baseline 42.5 FPS = YOLACT paper R50-550 on Titan Xp (BASELINE.md: the
 reference repo publishes no numbers of its own; PAPERS.md arXiv 1904.02689).
 """
 
+import os
+
+os.environ.setdefault("TF_CPP_MIN_LOG_LEVEL", "2")  # silence XLA AOT-cache spam
+
+
 import argparse
 import json
 import sys

@@ -11,6 +11,11 @@ map_mode (eval.py:31-37): 0 = predict + metrics, 1 = predict only,
 2 = metrics only (reuse existing jsons).
 """
 
+import os
+
+os.environ.setdefault("TF_CPP_MIN_LOG_LEVEL", "2")  # silence XLA AOT-cache spam
+
+
 import argparse
 import os
 import sys

@@ -10,6 +10,11 @@ graph with static shapes; the artifact replays on any JAX backend via
 into the graph, like the reference's end2end path).
 """
 
+import os
+
+os.environ.setdefault("TF_CPP_MIN_LOG_LEVEL", "2")  # silence XLA AOT-cache spam
+
+
 import argparse
 import os
 import sys

@@ -7,6 +7,11 @@ Mirrors /root/reference/predict.py (:14-119): modes ``dir_predict``
 checkpoint by default (predict.py:42).
 """
 
+import os
+
+os.environ.setdefault("TF_CPP_MIN_LOG_LEVEL", "2")  # silence XLA AOT-cache spam
+
+
 import argparse
 import os
 import sys

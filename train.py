@@ -12,6 +12,11 @@ Examples:
   python train.py --config yolact_synth --smoke
 """
 
+import os
+
+os.environ.setdefault("TF_CPP_MIN_LOG_LEVEL", "2")  # silence XLA AOT-cache spam
+
+
 import argparse
 import json
 import os
