@@ -38,6 +38,10 @@ class Config:
     anchors_size: Tuple[float, ...] = (24, 48, 96, 192, 384)  # configs/yolact_base.py:44
     coef_dim: int = 32
 
+    # aspect-ratio grouped batching (configs/mask_rcnn_base.py:41,
+    # models/init_model.py:98-125); -1 disables, k>=0 -> 2k+1 ratio bins
+    aspect_ratio_group_factor: int = -1
+
     # two-phase schedule (configs/yolact_base.py:75-83)
     init_epoch: int = 0
     freeze_epoch: int = 50

@@ -111,7 +111,10 @@ class Loader:
     def __init__(self, dataset, batch_size: int, collate: Callable,
                  shuffle: bool = True, seed: int = 704,
                  drop_last: bool = True, num_workers: int = 4,
-                 prefetch: int = 2):
+                 prefetch: int = 2, batch_sampler=None):
+        """``batch_sampler``: optional object with epoch(e) -> list of index
+        lists (e.g. data.aspect_ratio.GroupedBatchSampler), replacing the
+        default shuffled contiguous batching."""
         self.dataset = dataset
         self.batch_size = batch_size
         self.collate = collate
@@ -120,8 +123,11 @@ class Loader:
         self.drop_last = drop_last
         self.num_workers = max(1, num_workers)
         self.prefetch = prefetch
+        self.batch_sampler = batch_sampler
 
     def __len__(self):
+        if self.batch_sampler is not None:
+            return len(self.batch_sampler)
         n = len(self.dataset)
         return n // self.batch_size if self.drop_last else -(-n // self.batch_size)
 
@@ -132,10 +138,14 @@ class Loader:
         return idx
 
     def epoch(self, epoch: int = 0) -> Iterator[Dict[str, np.ndarray]]:
-        idx = self._epoch_indices(epoch)
-        nb = len(self)
-        batches = [idx[i * self.batch_size:(i + 1) * self.batch_size]
-                   for i in range(nb)]
+        if self.batch_sampler is not None:
+            batches = self.batch_sampler.epoch(epoch)
+            nb = len(batches)
+        else:
+            idx = self._epoch_indices(epoch)
+            nb = len(self)
+            batches = [idx[i * self.batch_size:(i + 1) * self.batch_size]
+                       for i in range(nb)]
 
         def make_batch(bi: int):
             samples = []

@@ -159,9 +159,19 @@ class Trainer:
         self.eval_step = jax.jit(eval_step)
 
     def _loaders(self):
+        sampler = None
+        if self.cfg.aspect_ratio_group_factor >= 0:
+            # Mask R-CNN aspect grouping (models/init_model.py:98-125)
+            from instancesegmentation_tpu.data.aspect_ratio import (
+                GroupedBatchSampler, create_aspect_ratio_groups)
+            groups = create_aspect_ratio_groups(
+                self.train_ds, self.cfg.aspect_ratio_group_factor)
+            sampler = GroupedBatchSampler(groups, self.batch_size,
+                                          seed=self.cfg.seed)
         train = Loader(self.train_ds, self.batch_size, self.collate,
                        shuffle=True, seed=self.cfg.seed,
-                       num_workers=self.cfg.num_workers)
+                       num_workers=self.cfg.num_workers,
+                       batch_sampler=sampler)
         val = Loader(self.val_ds, self.batch_size, self.collate,
                      shuffle=False, seed=self.cfg.seed,
                      num_workers=self.cfg.num_workers)

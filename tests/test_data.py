@@ -172,6 +172,20 @@ def test_loader_shuffles_between_epochs(synth):
     assert not np.array_equal(ids0, ids1)
 
 
+def test_loader_with_grouped_sampler(synth):
+    from instancesegmentation_tpu.data.aspect_ratio import (
+        GroupedBatchSampler, create_aspect_ratio_groups)
+    ds = SegDataset(synth.train_image_path, synth.train_coco, synth.label_map,
+                    transform=BaseTransform((96, 96)))
+    groups = create_aspect_ratio_groups(ds, 0)
+    sampler = GroupedBatchSampler(groups, batch_size=3)
+    loader = Loader(ds, 3, YolactCollate(8, (24, 24)), num_workers=1,
+                    batch_sampler=sampler)
+    batches = list(loader.epoch(0))
+    assert len(batches) == len(sampler)
+    assert batches[0]["image"].shape == (3, 96, 96, 3)
+
+
 def test_normalize_image_stats():
     img = np.full((4, 4, 3), 123.68, np.float32)
     out = normalize_image(img)
