@@ -49,8 +49,9 @@ def main(argv=None):
     model = get_model(cfg, train_mode=False)
     image = np.zeros((args.batch,) + tuple(cfg.input_shape) + (3,), np.float32)
     if args.checkpoint:
-        from instancesegmentation_tpu.models.yolact.predictor import _load_variables
-        variables = _load_variables(cfg, args.checkpoint, model)
+        from instancesegmentation_tpu.train.checkpoints import \
+            load_inference_variables
+        variables = load_inference_variables(args.checkpoint)
     else:
         # init on host CPU (slow to compile on the TPU remote path)
         try:

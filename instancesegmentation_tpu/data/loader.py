@@ -163,6 +163,19 @@ class Loader:
         q: "queue.Queue" = queue.Queue(maxsize=self.prefetch)
         stop = threading.Event()
 
+        def put_or_stop(item) -> bool:
+            """Bounded put that keeps observing stop: a plain q.put blocks
+            forever once the consumer abandons the epoch (review finding —
+            leaked producer + workers + prefetched batches per truncated
+            epoch, e.g. every --smoke run)."""
+            while not stop.is_set():
+                try:
+                    q.put(item, timeout=0.1)
+                    return True
+                except queue.Full:
+                    continue
+            return False
+
         def producer():
             try:
                 from collections import deque
@@ -175,11 +188,10 @@ class Loader:
                         while nxt < nb and len(inflight) < window:
                             inflight.append(pool.submit(make_batch, nxt))
                             nxt += 1
-                        if stop.is_set():
+                        if not put_or_stop(inflight.popleft().result()):
                             return
-                        q.put(inflight.popleft().result())
             except BaseException as e:  # surface worker errors to consumer
-                q.put(e)
+                put_or_stop(e)
 
         t = threading.Thread(target=producer, daemon=True)
         t.start()

@@ -57,7 +57,6 @@ def _load_native() -> Optional[ctypes.CDLL]:
 
 def counts_to_string(counts: Sequence[int]) -> str:
     out = []
-    prev2 = [0, 0]
     for i, c in enumerate(counts):
         x = int(c)
         if i >= 2:
@@ -72,7 +71,6 @@ def counts_to_string(counts: Sequence[int]) -> str:
             if more:
                 chunk |= 0x20
             out.append(chr(chunk + 48))
-        _ = prev2
     return "".join(out)
 
 

@@ -158,7 +158,9 @@ def make_mask_rcnn_train_fns(model, cfg, train: bool = True):
     return loss_fn
 
 
-def make_mask_rcnn_infer_fn(model, cfg, max_det: int = 100):
+def make_mask_rcnn_infer_fn(model, cfg, max_det: int = 100,
+                            score_thresh: float = R.SCORE_THRESH,
+                            nms_thresh: float = R.NMS_THRESH):
     """variables, images -> per-image Detections + mask probs (28^2)."""
     anchors, level_sizes = _geometry(cfg.input_shape)
     image_hw = tuple(cfg.input_shape)
@@ -188,7 +190,8 @@ def make_mask_rcnn_infer_fn(model, cfg, max_det: int = 100):
         box_deltas = box_deltas.reshape(b, s, -1, 4)
 
         dets = jax.vmap(partial(R.postprocess_detections, image_hw=image_hw,
-                                max_det=max_det))(
+                                score_thresh=score_thresh,
+                                nms_thresh=nms_thresh, max_det=max_det))(
             cls_logits, box_deltas, props.boxes, props.valid)
 
         def align14(f2, f3, f4, f5, rois):

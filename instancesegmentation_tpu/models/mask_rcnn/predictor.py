@@ -56,6 +56,7 @@ class MaskRCNNPredictor:
                  nms_iou: Optional[float] = None):
         self.cfg = cfg
         self.confidence = confidence if confidence is not None else cfg.confidence
+        self.nms_iou = nms_iou if nms_iou is not None else cfg.eval_nms_iou
         self.input_shape = tuple(cfg.input_shape)
         self.class_names = list(cfg.class_names)
         self.colors = class_colors(len(self.class_names))
@@ -64,10 +65,13 @@ class MaskRCNNPredictor:
         if variables is None:
             if checkpoint is None:
                 raise ValueError("need variables or checkpoint")
-            variables = _load_variables(cfg, checkpoint)
+            from instancesegmentation_tpu.train.checkpoints import \
+                load_inference_variables
+            variables = load_inference_variables(checkpoint)
         self.variables = variables
         self._infer = jax.jit(make_mask_rcnn_infer_fn(
-            self.model, cfg, max_det=cfg.max_detections))
+            self.model, cfg, max_det=cfg.max_detections,
+            nms_thresh=self.nms_iou))
 
     def _preprocess(self, image_rgb: np.ndarray) -> np.ndarray:
         import cv2
@@ -132,18 +136,3 @@ class MaskRCNNPredictor:
     def get_map_out(self, image_rgb: np.ndarray):
         det = self.raw_detect(image_rgb, score_thresh=0.0)
         return (det["boxes"], det["scores"], det["classes"], det["masks"])
-
-
-def _load_variables(cfg: Config, checkpoint: str):
-    from instancesegmentation_tpu.train.checkpoints import CheckpointIO
-    from instancesegmentation_tpu.train.state import create_train_state
-
-    rng = jax.random.key(0)
-    sample = np.zeros((1,) + tuple(cfg.input_shape) + (3,), np.float32)
-    train_model = get_model(cfg, train_mode=True)
-    template = create_train_state(train_model, cfg, rng, sample,
-                                  lr=1e-3, frozen_backbone=False)
-    io = CheckpointIO(os.path.dirname(checkpoint))
-    state = io.restore(os.path.basename(checkpoint), template)
-    params = state.ema_params if state.ema_params is not None else state.params
-    return {"params": params, "batch_stats": state.batch_stats}

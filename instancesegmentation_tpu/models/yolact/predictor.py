@@ -48,7 +48,9 @@ class YolactPredictor:
         if variables is None:
             if checkpoint is None:
                 raise ValueError("need variables or checkpoint")
-            variables = _load_variables(cfg, checkpoint, self.model)
+            from instancesegmentation_tpu.train.checkpoints import \
+                load_inference_variables
+            variables = load_inference_variables(checkpoint)
         self.variables = variables
 
         infer = make_infer_fn(self.model, self.anchors, self.confidence,
@@ -127,22 +129,3 @@ class YolactPredictor:
         full-res binary masks."""
         det = self.raw_detect(image_rgb)
         return (det["boxes"], det["scores"], det["classes"], det["masks"])
-
-
-def _load_variables(cfg: Config, checkpoint: str, model):
-    """Restore {'params','batch_stats'} from an orbax train-state dir,
-    preferring EMA weights when present (script.py:90-93 eval-with-EMA)."""
-    import jax.numpy as jnp
-    from instancesegmentation_tpu.train.checkpoints import CheckpointIO
-    from instancesegmentation_tpu.train.state import create_train_state
-    import os
-
-    rng = jax.random.key(0)
-    sample = np.zeros((1,) + tuple(cfg.input_shape) + (3,), np.float32)
-    train_model = get_model(cfg, train_mode=True)
-    template = create_train_state(train_model, cfg, rng, sample,
-                                  lr=1e-3, frozen_backbone=False)
-    io = CheckpointIO(os.path.dirname(checkpoint))
-    state = io.restore(os.path.basename(checkpoint), template)
-    params = state.ema_params if state.ema_params is not None else state.params
-    return {"params": params, "batch_stats": state.batch_stats}

@@ -62,16 +62,24 @@ def match_yolact(pos_thresh: float, neg_thresh: float,
     anchor_max = jnp.max(overlaps, axis=0)             # (A,)
     anchor_idx = jnp.argmax(overlaps, axis=0)          # (A,)
 
-    # Force-match: every fg gt claims its best anchor. Duplicate claims on
-    # one anchor resolve to the largest gt index (torch loop: last wins).
+    # Force-match: every fg gt claims its best anchor, UNCONDITIONALLY
+    # overriding that anchor's own argmax gt (the torch loop writes
+    # each_anchor_index[best_anchor[j]] = j; among several gts claiming
+    # the same anchor the last — i.e. largest index — wins). Two-step
+    # scatter: record force claims in a separate (-1)-initialized buffer
+    # with scatter-max (largest j wins among claimants), then override.
+    # A direct .at[idx].max(j) against anchor_idx would be WRONG: the
+    # anchor's pre-existing argmax gt could be larger than the claimant.
     # Invalid gt rows scatter to index num_anchors — out of bounds for the
     # anchor-sized targets -> dropped. (NOT num_gt: that is a valid anchor
     # index whenever A > G.)
     num_anchors = anchors_cxcywh.shape[0]
     scatter_to = jnp.where(fg, each_box_idx, num_anchors)
-    anchor_max = anchor_max.at[scatter_to].set(2.0, mode="drop")
     gt_ids = jnp.arange(num_gt, dtype=anchor_idx.dtype)
-    anchor_idx = anchor_idx.at[scatter_to].max(gt_ids, mode="drop")
+    forced = jnp.full((num_anchors,), -1, anchor_idx.dtype)
+    forced = forced.at[scatter_to].max(gt_ids, mode="drop")
+    anchor_max = jnp.where(forced >= 0, 2.0, anchor_max)
+    anchor_idx = jnp.where(forced >= 0, forced, anchor_idx)
 
     matched_box = gt_boxes[anchor_idx]                 # (A, 4)
     conf = gt_labels[anchor_idx].astype(jnp.int32) + 1

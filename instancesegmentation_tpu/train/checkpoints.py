@@ -53,6 +53,18 @@ class CheckpointIO:
         self._ckptr.wait_until_finished()
         return self._ckptr.restore(self._path(name), template)
 
+    def restore_raw(self, name: str) -> Any:
+        """Template-free restore -> nested dict of numpy arrays.
+
+        The optimizer-state TREE STRUCTURE differs between the freeze phase
+        (multi_transform) and the unfreeze phase (plain optimizer), so a
+        template built for the wrong phase makes orbax raise. Raw restore
+        sidesteps the problem for consumers that only need a subset of the
+        state (predictors: params/batch_stats/ema) or that can rebuild the
+        rest (trainer resume)."""
+        self._ckptr.wait_until_finished()
+        return self._ckptr.restore(self._path(name))
+
     def has(self, name: str) -> bool:
         self._ckptr.wait_until_finished()
         return os.path.isdir(self._path(name))
@@ -65,3 +77,17 @@ class CheckpointIO:
 
     def wait(self):
         self._ckptr.wait_until_finished()
+
+
+def load_inference_variables(checkpoint_path: str):
+    """Restore {'params','batch_stats'} for inference from a train-state
+    checkpoint dir, phase-agnostic (raw restore), preferring EMA weights
+    when present (reference eval-with-EMA, models/script.py:90-93).
+
+    Shared by both predictors and export (review finding: previously
+    duplicated per-predictor AND crashing on cross-phase checkpoints)."""
+    import os as _os
+    io = CheckpointIO(_os.path.dirname(checkpoint_path))
+    raw = io.restore_raw(_os.path.basename(checkpoint_path))
+    params = raw.get("ema_params") or raw["params"]
+    return {"params": params, "batch_stats": raw.get("batch_stats") or {}}

@@ -23,6 +23,7 @@ import time
 from typing import Dict, Optional
 
 import jax
+import jax.numpy as jnp
 import numpy as np
 
 from instancesegmentation_tpu.config import Config
@@ -134,7 +135,21 @@ class Trainer:
         if resume:
             name = self.ckpt.latest_epoch_name()
             if name:
-                self.state = self.ckpt.restore(name, self.state)
+                try:
+                    self.state = self.ckpt.restore(name, self.state)
+                except ValueError:
+                    # cross-phase checkpoint: opt_state tree differs between
+                    # freeze (multi_transform) and unfreeze phases — restore
+                    # raw and rebuild the optimizer state fresh
+                    raw = self.ckpt.restore_raw(name)
+                    self.state = self.state.replace(
+                        step=jnp.asarray(raw["step"], jnp.int32),
+                        params=raw["params"],
+                        batch_stats=raw.get("batch_stats") or {},
+                        ema_params=raw.get("ema_params")
+                        if self.state.ema_params is not None else None)
+                    log.warning("resume: checkpoint is from the other "
+                                "training phase; optimizer state reset")
                 self.start_epoch = int(self.state.step) // max(
                     1, len(self.train_ds) // self.batch_size)
                 log.info("resumed from %s at epoch %d", name, self.start_epoch)
@@ -158,20 +173,29 @@ class Trainer:
         self.train_step = jax.jit(train_step, donate_argnums=0)
         self.eval_step = jax.jit(eval_step)
 
+    def _group_sampler(self):
+        """Aspect-ratio grouped sampler (models/init_model.py:98-125),
+        built once per batch size — the ratio groups are constant for the
+        whole run."""
+        if self.cfg.aspect_ratio_group_factor < 0:
+            return None
+        cached = getattr(self, "_sampler_cache", None)
+        if cached is not None and cached[0] == self.batch_size:
+            return cached[1]
+        from instancesegmentation_tpu.data.aspect_ratio import (
+            GroupedBatchSampler, create_aspect_ratio_groups)
+        groups = create_aspect_ratio_groups(
+            self.train_ds, self.cfg.aspect_ratio_group_factor)
+        sampler = GroupedBatchSampler(groups, self.batch_size,
+                                      seed=self.cfg.seed)
+        self._sampler_cache = (self.batch_size, sampler)
+        return sampler
+
     def _loaders(self):
-        sampler = None
-        if self.cfg.aspect_ratio_group_factor >= 0:
-            # Mask R-CNN aspect grouping (models/init_model.py:98-125)
-            from instancesegmentation_tpu.data.aspect_ratio import (
-                GroupedBatchSampler, create_aspect_ratio_groups)
-            groups = create_aspect_ratio_groups(
-                self.train_ds, self.cfg.aspect_ratio_group_factor)
-            sampler = GroupedBatchSampler(groups, self.batch_size,
-                                          seed=self.cfg.seed)
         train = Loader(self.train_ds, self.batch_size, self.collate,
                        shuffle=True, seed=self.cfg.seed,
                        num_workers=self.cfg.num_workers,
-                       batch_sampler=sampler)
+                       batch_sampler=self._group_sampler())
         val = Loader(self.val_ds, self.batch_size, self.collate,
                      shuffle=False, seed=self.cfg.seed,
                      num_workers=self.cfg.num_workers)

@@ -1,0 +1,70 @@
+"""Regression (review finding): checkpoints saved in the FREEZE phase
+(multi_transform opt_state) must load in predictors/eval and in a resume
+whose template is the other phase."""
+
+import jax
+import numpy as np
+import pytest
+
+
+@pytest.fixture(scope="module")
+def freeze_ckpt(tmp_path_factory):
+    """Save a freeze-phase train state (multi_transform optimizer)."""
+    from instancesegmentation_tpu.config import get_config
+    from instancesegmentation_tpu.models import get_model
+    from instancesegmentation_tpu.train.checkpoints import CheckpointIO
+    from instancesegmentation_tpu.train.state import create_train_state
+
+    cfg = get_config("yolact_synth", input_shape=(96, 96),
+                     mixed_precision=False, ema=True)
+    model = get_model(cfg, train_mode=True)
+    sample = np.zeros((1, 96, 96, 3), np.float32)
+    state = create_train_state(model, cfg, jax.random.key(0), sample,
+                               lr=1e-3, frozen_backbone=True)
+    d = tmp_path_factory.mktemp("ckpt")
+    io = CheckpointIO(str(d))
+    io.save("best_epoch_weights", state)
+    io.wait()
+    return cfg, str(d)
+
+
+def test_inference_load_from_freeze_phase(freeze_ckpt):
+    """load_inference_variables must not need a phase-matched template."""
+    import os
+    from instancesegmentation_tpu.train.checkpoints import \
+        load_inference_variables
+    cfg, d = freeze_ckpt
+    variables = load_inference_variables(os.path.join(d, "best_epoch_weights"))
+    assert "params" in variables and "batch_stats" in variables
+    # EMA weights preferred when present
+    assert "backbone" in variables["params"]
+
+
+def test_predictor_from_freeze_phase_checkpoint(freeze_ckpt):
+    import os
+    from instancesegmentation_tpu.models.yolact.predictor import YolactPredictor
+    cfg, d = freeze_ckpt
+    pred = YolactPredictor(cfg, checkpoint=os.path.join(d, "best_epoch_weights"))
+    img = np.random.RandomState(0).randint(0, 255, (64, 80, 3)).astype(np.uint8)
+    det = pred.raw_detect(img)
+    assert det["masks_arg"].shape == (64, 80)
+
+
+def test_resume_across_phase(freeze_ckpt, tmp_path):
+    """Trainer built for the UNFREEZE phase resumes a freeze-phase save."""
+    from instancesegmentation_tpu.config import get_config
+    from instancesegmentation_tpu.train.trainer import Trainer
+    cfg, d = freeze_ckpt
+    cfg2 = cfg.replace(freeze_train=False, data_root=str(tmp_path / "synth"),
+                       out_root=str(tmp_path / "out"),
+                       freeze_batch_size=8, unfreeze_batch_size=8,
+                       num_workers=1)
+    import os
+    import shutil
+    ckdir = os.path.join(cfg2.out_root, cfg2.name, "ckpt")
+    os.makedirs(os.path.dirname(ckdir), exist_ok=True)
+    shutil.copytree(d, ckdir)
+    os.rename(os.path.join(ckdir, "best_epoch_weights"),
+              os.path.join(ckdir, "last_epoch_weights"))
+    tr = Trainer(cfg2, resume=True)          # must not raise
+    assert int(tr.state.step) == 0

@@ -67,6 +67,33 @@ def test_match_yolact_no_gt():
     assert np.all(np.isfinite(np.asarray(m.offsets)))
 
 
+def test_match_yolact_force_match_overrides_larger_argmax():
+    """Regression (review finding): gt0's best anchor is anchor0, but
+    anchor0's own argmax gt is gt1 (> 0). The force-match must still give
+    anchor0 to gt0 (torch writes unconditionally), so EVERY fg gt has at
+    least one positive anchor."""
+    # IoUs (hand-computed): a0-gt0 0.0625, a0-gt1 0.145, a1-gt1 0.198,
+    # a1-gt0 0 -> anchor0's argmax is gt1, but gt0's best anchor is anchor0
+    # and gt1's best anchor is anchor1.
+    anchors = jnp.array([[0.2, 0.2, 0.4, 0.4],    # anchor0 = [0,0,.4,.4]
+                         [0.7, 0.7, 0.4, 0.4]])   # anchor1 = [.5,.5,.9,.9]
+    gt_boxes = jnp.array([[0.0, 0.0, 0.1, 0.1],       # gt0: tiny, in anchor0
+                          [0.05, 0.05, 0.95, 0.95]])  # gt1: big, best anchor1
+    gt_labels = jnp.array([0, 1], jnp.int32)
+    valid = jnp.array([True, True])
+    crowd = jnp.zeros(2, bool)
+    m = matcher.match_yolact(0.5, 0.4, gt_boxes, gt_labels, valid, crowd,
+                             anchors)
+    idx = np.asarray(m.matched_idx)
+    # sanity: anchor0's raw argmax is gt1 (higher IoU with anchor0)
+    from instancesegmentation_tpu.ops import boxes as box_ops
+    ov = np.asarray(box_ops.jaccard(gt_boxes, box_ops.point_form(anchors)))
+    assert ov[1, 0] > ov[0, 0] and np.argmax(ov[0]) == 0 and np.argmax(ov[1]) == 1
+    # the force-match must hand anchor0 to gt0
+    assert idx[0] == 0 and idx[1] == 1
+    assert set(idx.tolist()) == {0, 1}   # every gt has a positive anchor
+
+
 def test_match_yolact_no_gt_many_anchors():
     """Regression: with A > G, padded gt rows must NOT claim anchor index
     == G (the invalid-scatter sentinel must be out of bounds for the
