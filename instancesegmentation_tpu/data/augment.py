@@ -193,6 +193,23 @@ class Augmentation:
         return img, masks, boxes, labels, is_crowd
 
 
+def pad_to(image, masks, out_hw, fill=128):
+    """Paste onto a gray canvas at the top-left (transform.py:361-377 Pad)."""
+    h, w = image.shape[:2]
+    oh, ow = out_hw
+    canvas = np.full((oh, ow, image.shape[2]), fill, dtype=image.dtype)
+    canvas[:h, :w] = image
+    mcanvas = np.zeros((masks.shape[0], oh, ow), dtype=masks.dtype)
+    mcanvas[:, :h, :w] = masks
+    return canvas, mcanvas
+
+
+def resize_scale(image, masks, boxes_abs, scale: float = 0.8):
+    """Relative-scale resize (transform.py:337-359 ResizeS)."""
+    h, w = image.shape[:2]
+    return resize(image, masks, boxes_abs, (int(h * scale), int(w * scale)))
+
+
 class BaseTransform:
     """Val/eval pipeline: resize only (transform.py:411-429)."""
 

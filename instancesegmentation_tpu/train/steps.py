@@ -43,9 +43,12 @@ def make_yolact_train_step(model, tx, anchors, cfg):
 
     def train_step(state: TrainState, batch, rng
                    ) -> Tuple[TrainState, Dict[str, Any]]:
+        # fold the step count in ON DEVICE: a host-side fold_in per step is
+        # its own tiny dispatch through the runtime (profiled at ~ms each)
+        step_rng = jax.random.fold_in(rng, state.step)
         (total, (losses, new_stats)), grads = jax.value_and_grad(
             loss_fn, has_aux=True)(state.params, state.batch_stats,
-                                   batch, rng)
+                                   batch, step_rng)
         updates, new_opt = tx.update(grads, state.opt_state, state.params)
         new_params = optax.apply_updates(state.params, updates)
         step = state.step + 1
@@ -71,9 +74,10 @@ def make_mask_rcnn_train_step(model, tx, cfg):
     loss_fn = make_mask_rcnn_train_fns(model, cfg, train=True)
 
     def train_step(state: TrainState, batch, rng):
+        step_rng = jax.random.fold_in(rng, state.step)   # on-device fold
         (total, (losses, new_stats)), grads = jax.value_and_grad(
             loss_fn, has_aux=True)(state.params, state.batch_stats,
-                                   batch, rng)
+                                   batch, step_rng)
         updates, new_opt = tx.update(grads, state.opt_state, state.params)
         new_params = optax.apply_updates(state.params, updates)
         step = state.step + 1

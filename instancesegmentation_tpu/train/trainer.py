@@ -294,11 +294,11 @@ class Trainer:
         for i, batch in enumerate(loader.epoch(epoch)):
             if self.max_steps_per_epoch and i >= self.max_steps_per_epoch:
                 break
-            step_rng = jax.random.fold_in(rng, step0 + i)
+            # the step folds state.step into this base key ON DEVICE
             device_batch = shard_batch(
                 {k: v for k, v in batch.items() if k != "image_id"}, self.mesh)
             self.state, metrics = self.train_step(self.state, device_batch,
-                                                  step_rng)
+                                                  rng)
             if pending is not None:
                 drain(*pending)
             pending = (metrics, step0 + i + 1)
