@@ -291,17 +291,29 @@ class Trainer:
             n += 1
             self.history.step(loss, lr, step_id)
 
-        for i, batch in enumerate(loader.epoch(epoch)):
+        def stage(batch):
+            # async H2D: starts the transfer immediately, overlapping the
+            # in-flight step's compute
+            return shard_batch(
+                {k: v for k, v in batch.items() if k != "image_id"},
+                self.mesh)
+
+        it = iter(loader.epoch(epoch))
+        nxt = next(it, None)
+        staged = stage(nxt) if nxt is not None else None
+        i = 0
+        while staged is not None:
             if self.max_steps_per_epoch and i >= self.max_steps_per_epoch:
                 break
-            # the step folds state.step into this base key ON DEVICE
-            device_batch = shard_batch(
-                {k: v for k, v in batch.items() if k != "image_id"}, self.mesh)
-            self.state, metrics = self.train_step(self.state, device_batch,
-                                                  rng)
+            cur = staged
+            nxt = next(it, None)
+            staged = stage(nxt) if nxt is not None else None
+            # the step folds state.step into the base key ON DEVICE
+            self.state, metrics = self.train_step(self.state, cur, rng)
             if pending is not None:
                 drain(*pending)
             pending = (metrics, step0 + i + 1)
+            i += 1
         if pending is not None:
             drain(*pending)
         return total / max(n, 1)

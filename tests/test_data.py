@@ -186,6 +186,20 @@ def test_loader_with_grouped_sampler(synth):
     assert batches[0]["image"].shape == (3, 96, 96, 3)
 
 
+def test_pad_and_resize_scale_extras():
+    from instancesegmentation_tpu.data.augment import pad_to, resize_scale
+    img = np.ones((10, 12, 3), np.float32) * 7
+    masks = np.ones((2, 10, 12), np.uint8)
+    canvas, mcanvas = pad_to(img, masks, (16, 20))
+    assert canvas.shape == (16, 20, 3) and mcanvas.shape == (2, 16, 20)
+    assert canvas[0, 0, 0] == 7 and canvas[-1, -1, 0] == 128
+    assert mcanvas[:, :10, :12].all() and not mcanvas[:, 10:, :].any()
+    boxes = np.array([[0.0, 0.0, 12.0, 10.0]], np.float32)
+    img2, masks2, boxes2 = resize_scale(img, masks, boxes, 0.5)
+    assert img2.shape == (5, 6, 3)
+    np.testing.assert_allclose(boxes2[0], [0, 0, 6, 5])
+
+
 def test_normalize_image_stats():
     img = np.full((4, 4, 3), 123.68, np.float32)
     out = normalize_image(img)
