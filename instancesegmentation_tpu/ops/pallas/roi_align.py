@@ -7,15 +7,17 @@ separable-linear-operator math as ``roi_align_separable``:
     out_r = B_y(r) @ feat @ B_x(r)^T        (pooling folded into B)
 
 but as a hand-scheduled kernel: the feature map is pinned in VMEM for the
-whole grid (one HBM read total), each grid step processes a block of rois,
-and the per-roi interpolation operators are built in-register from
-broadcasted iota — no gathers anywhere, both contractions hit the MXU.
+whole grid in bf16 (one HBM read total; f32 would exceed the ~16 MB VMEM
+at P2 scale: 136*136*256*4B = 18.9 MB), each grid step processes a block
+of rois, the per-roi interpolation operators are built in-register from
+2-D broadcasted iota (Mosaic requires integer iota and dislikes >2-D
+iota), and both contractions hit the MXU with f32 accumulation.
 
-Numerics match torchvision roi_align with aligned=False, sampling_ratio=2
-(verified against ops/roi_align.py's golden in tests). Forward-only: the
-training path uses the jnp separable formulation (XLA already fuses its
-backward well); this kernel serves inference where RoIAlign latency sits
-between the box head and the mask head.
+Numerics match torchvision roi_align with aligned=False (bf16 feature
+rounding aside); verified against ops/roi_align.py's golden in interpret
+mode and on device. Forward-only: the training path uses the jnp
+separable formulation (XLA fuses its backward well); this kernel serves
+inference.
 """
 
 from __future__ import annotations
@@ -29,45 +31,51 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 
-def _kernel(rois_ref, feat_ref, out_ref, *, oh: int, ow: int,
-            spatial_scale: float, sampling_ratio: int, roi_block: int):
-    """Grid: (num_roi_blocks,). rois_ref (roi_block, 4) VMEM;
-    feat_ref (H, W, C) VMEM (same block every step); out (roi_block, oh*ow, C)."""
-    h, w, c = feat_ref.shape
+def _kernel(rois_ref, feat_ref, out_ref, *, oh: int, ow: int, h: int, w: int,
+            c: int, spatial_scale: float, sampling_ratio: int,
+            roi_block: int):
+    """Grid: (num_roi_blocks,). rois_ref (roi_block, 4) SMEM;
+    feat_ref (H, W*C) bf16 VMEM (same block every step);
+    out (roi_block, oh*ow, C) f32."""
     s = sampling_ratio
-    feat2d = feat_ref[:].reshape(h, w * c)
-
-    rois = rois_ref[:].astype(jnp.float32) * spatial_scale   # (R, 4)
-    x1, y1 = rois[:, 0], rois[:, 1]
-    roi_w = jnp.maximum(rois[:, 2] - rois[:, 0], 1.0)
-    roi_h = jnp.maximum(rois[:, 3] - rois[:, 1], 1.0)
 
     def interp_matrix(start, bin_size, size, out_bins):
-        """(out_bins, size) pooling+interp operator for ONE roi."""
-        off = (jax.lax.broadcasted_iota(jnp.float32, (out_bins, s), 1) + 0.5) / s
-        bins = jax.lax.broadcasted_iota(jnp.float32, (out_bins, s), 0)
-        coords = start + (bins + off) * bin_size             # (out_bins, s)
+        """(out_bins, size) pooling+interp operator for ONE roi, built from
+        2-D integer iota only."""
+        # sample coordinates, flattened (out_bins*s, 1)
+        flat = jax.lax.broadcasted_iota(jnp.int32, (out_bins * s, 1), 0)
+        bins = (flat // s).astype(jnp.float32)
+        off = ((flat % s).astype(jnp.float32) + 0.5) / s
+        coords = start + (bins + off) * bin_size            # (out_bins*s, 1)
         valid = (coords >= -1.0) & (coords <= size)
         cc = jnp.clip(coords, 0.0, size - 1)
         c0 = jnp.floor(cc)
         frac = cc - c0
         c0i = c0.astype(jnp.int32)
         c1i = jnp.minimum(c0i + 1, size - 1)
-        iota = jax.lax.broadcasted_iota(jnp.int32, (out_bins, s, size), 2)
-        m = ((iota == c0i[..., None]) * (1.0 - frac[..., None])
-             + (iota == c1i[..., None]) * frac[..., None])
-        m = m * valid[..., None]
-        return jnp.mean(m, axis=1)                           # (out_bins, size)
+        iota = jax.lax.broadcasted_iota(jnp.int32, (out_bins * s, size), 1)
+        m = ((iota == c0i) * (1.0 - frac)
+             + (iota == c1i) * frac) * valid                 # (out_bins*s, size)
+        # fold the bin average: sum the s sample rows per bin / s
+        return jnp.mean(m.reshape(out_bins, s, size), axis=1)
 
-    for r in range(roi_block):                                # unrolled
-        by = interp_matrix(y1[r], roi_h[r] / oh, h, oh)       # (oh, H)
-        bx = interp_matrix(x1[r], roi_w[r] / ow, w, ow)       # (ow, W)
-        tmp = jnp.dot(by, feat2d,
-                      preferred_element_type=jnp.float32)     # (oh, W*C)
+    for r in range(roi_block):                               # unrolled
+        x1 = rois_ref[r, 0] * spatial_scale
+        y1 = rois_ref[r, 1] * spatial_scale
+        x2 = rois_ref[r, 2] * spatial_scale
+        y2 = rois_ref[r, 3] * spatial_scale
+        roi_w = jnp.maximum(x2 - x1, 1.0)
+        roi_h = jnp.maximum(y2 - y1, 1.0)
+
+        by = interp_matrix(y1, roi_h / oh, h, oh)            # (oh, H)
+        bx = interp_matrix(x1, roi_w / ow, w, ow)            # (ow, W)
+
+        tmp = jnp.dot(by.astype(jnp.bfloat16), feat_ref[:],
+                      preferred_element_type=jnp.float32)    # (oh, W*C)
         tmp = tmp.reshape(oh, w, c)
         out = jax.lax.dot_general(
             bx, tmp, dimension_numbers=(((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32)               # (ow, oh, C)
+            preferred_element_type=jnp.float32)              # (ow, oh, C)
         out_ref[r, :, :] = jnp.transpose(out, (1, 0, 2)).reshape(oh * ow, c)
 
 
@@ -83,7 +91,7 @@ def roi_align_pallas(feat: jnp.ndarray, rois: jnp.ndarray,
     rois_p = jnp.pad(rois.astype(jnp.float32), ((0, pad), (0, 0)))
     n_blocks = (r + pad) // roi_block
 
-    kernel = functools.partial(_kernel, oh=oh, ow=ow,
+    kernel = functools.partial(_kernel, oh=oh, ow=ow, h=h, w=w, c=c,
                                spatial_scale=spatial_scale,
                                sampling_ratio=sampling_ratio,
                                roi_block=roi_block)
@@ -92,14 +100,14 @@ def roi_align_pallas(feat: jnp.ndarray, rois: jnp.ndarray,
         grid=(n_blocks,),
         in_specs=[
             pl.BlockSpec((roi_block, 4), lambda i: (i, 0),
-                         memory_space=pltpu.VMEM),
+                         memory_space=pltpu.SMEM),
             # whole feature map resident in VMEM across all grid steps
-            pl.BlockSpec((h, w, c), lambda i: (0, 0, 0),
+            pl.BlockSpec((h, w * c), lambda i: (0, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec((roi_block, oh * ow, c), lambda i: (i, 0, 0),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((r + pad, oh * ow, c), jnp.float32),
         interpret=interpret,
-    )(rois_p, feat.astype(jnp.float32))
+    )(rois_p, feat.astype(jnp.bfloat16).reshape(h, w * c))
     return out[:r].reshape(r, oh, ow, c).astype(feat.dtype)

@@ -18,7 +18,9 @@ def test_pallas_matches_golden_interpret(rng, scale):
     ours = np.asarray(roi_align_pallas(jnp.asarray(feat), jnp.asarray(rois),
                                        (7, 7), scale, 2, roi_block=2,
                                        interpret=True))
-    np.testing.assert_allclose(ours, golden, rtol=1e-4, atol=1e-4)
+    # the kernel keeps the feature map in bf16 (VMEM budget: f32 P2 maps
+    # exceed 16MB), so compare at bf16 precision
+    np.testing.assert_allclose(ours, golden, rtol=2e-2, atol=2e-2)
 
 
 def test_pallas_roi_padding(rng):
@@ -31,4 +33,4 @@ def test_pallas_roi_padding(rng):
                                        (7, 7), 1.0, 2, roi_block=2,
                                        interpret=True))
     assert ours.shape == golden.shape
-    np.testing.assert_allclose(ours, golden, rtol=1e-4, atol=1e-4)
+    np.testing.assert_allclose(ours, golden, rtol=2e-2, atol=2e-2)
