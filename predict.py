@@ -24,6 +24,8 @@ def build_predictor(args):
 
     overrides = {k: v for k, v in (("data_root", args.data_root),
                                    ("out_root", args.out_root)) if v}
+    if args.traditional_nms:
+        overrides["traditional_nms"] = True
     cfg = get_config(args.config, **overrides)
     ckpt = args.checkpoint or os.path.join(cfg.out_root, cfg.name, "ckpt",
                                            "best_epoch_weights")
@@ -51,6 +53,9 @@ def main(argv=None):
     p.add_argument("--out_root", type=str, default=None)
     p.add_argument("--confidence", type=float, default=None)
     p.add_argument("--nms_iou", type=float, default=None)
+    p.add_argument("--traditional_nms", action="store_true",
+                   help="exact per-class NMS instead of Fast-NMS "
+                        "(reference export.py:109 / utils_bbox.py:102)")
     args = p.parse_args(argv)
 
     import cv2
