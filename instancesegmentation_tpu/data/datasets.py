@@ -168,7 +168,13 @@ def make_synthetic_coco(root: str, split: str, num_images: int = 16,
         h = w = image_size
         img = rng.randint(90, 120, (h, w, 3)).astype(np.uint8)
         n_obj = rng.randint(1, max_objects + 1)
-        for _ in range(n_obj):
+        # draw onto an instance-id canvas first so ground truth stores the
+        # VISIBLE (modal) mask of each shape: later shapes occlude earlier
+        # ones in the image, and amodal gt would put an unreachable ceiling
+        # on overfit mAP (~0.84 bbox / 0.71 mask measured)
+        canvas = np.full((h, w), -1, np.int32)
+        classes = []
+        for j in range(n_obj):
             cls = rng.randint(len(SHAPE_CLASSES))
             size = rng.randint(image_size // 8, image_size // 3)
             cx = rng.randint(size, w - size)
@@ -186,6 +192,12 @@ def make_synthetic_coco(root: str, split: str, num_images: int = 16,
             else:
                 cv2.circle(mask, (cx, cy), size // 2, 1, -1)
             img[mask > 0] = color
+            canvas[mask > 0] = j
+            classes.append(cls)
+        for j, cls in enumerate(classes):
+            mask = (canvas == j).astype(np.uint8)
+            if not mask.any():     # fully occluded by later shapes
+                continue
             ys, xs = np.nonzero(mask)
             x1, y1, x2, y2 = xs.min(), ys.min(), xs.max() + 1, ys.max() + 1
             annotations.append({
