@@ -37,6 +37,15 @@ class Config:
     model_path: str = ""
     anchors_size: Tuple[float, ...] = (24, 48, 96, 192, 384)  # configs/yolact_base.py:44
     coef_dim: int = 32
+    # Mask R-CNN backbone construction (resnet50_fpn_model.py:137-199,
+    # called with trainable_layers=3 at models/init_model.py:42):
+    # trainable_layers counts from the top — ['layer4','layer3','layer2',
+    # 'layer1','conv1'][:n] train, the rest are PERMANENTLY frozen
+    # (+ 'bn1' only at n=5). frozen_bn selects FrozenBatchNorm2d semantics
+    # (the reference docstring's own recommendation for small batches;
+    # its live default is nn.BatchNorm2d).
+    trainable_layers: int = 3
+    frozen_bn: bool = False
 
     # aspect-ratio grouped batching (configs/mask_rcnn_base.py:41,
     # models/init_model.py:98-125); -1 disables, k>=0 -> 2k+1 ratio bins
@@ -162,7 +171,7 @@ def _mask_rcnn_base() -> Config:
                   class_names=VOC_CLASSES,
                   freeze_batch_size=4, unfreeze_batch_size=2,
                   init_lr=5e-3, optimizer_type="sgd", momentum=0.9,
-                  weight_decay=5e-4, max_instances=48)
+                  weight_decay=5e-4, frozen_bn=True, max_instances=48)
 
 
 @register("yolact_coco")
@@ -180,7 +189,7 @@ def _mask_rcnn_coco() -> Config:
                   classes_path="model_data/coco_classes.txt",
                   freeze_batch_size=4, unfreeze_batch_size=2,
                   init_lr=5e-3, optimizer_type="sgd", momentum=0.9,
-                  weight_decay=5e-4, max_instances=96)
+                  weight_decay=5e-4, frozen_bn=True, max_instances=96)
 
 
 @register("yolact_verseg")
@@ -196,7 +205,7 @@ def _mask_rcnn_verseg() -> Config:
                   exp_name="verseg", class_names=("vertebra",),
                   freeze_batch_size=4, unfreeze_batch_size=2,
                   init_lr=5e-3, optimizer_type="sgd", momentum=0.9,
-                  weight_decay=5e-4, max_instances=32)
+                  weight_decay=5e-4, frozen_bn=True, max_instances=32)
 
 
 @register("yolact_synth")
@@ -223,4 +232,6 @@ def _mask_rcnn_synth() -> Config:
                   freeze_batch_size=2, unfreeze_batch_size=2,
                   init_lr=5e-3, optimizer_type="sgd", momentum=0.9,
                   weight_decay=5e-4, num_workers=2, ema=False,
-                  early_stopping=False)
+                  early_stopping=False,
+                  # from-scratch training: no pretrained stem to freeze
+                  trainable_layers=5)

@@ -19,7 +19,8 @@ def get_model(cfg, train_mode: bool = True):
         from instancesegmentation_tpu.models.mask_rcnn.model import MaskRCNN
         return MaskRCNN(num_classes=cfg.num_classes + 1,
                         train_mode=train_mode,
-                        dtype=cfg.compute_dtype)
+                        dtype=cfg.compute_dtype,
+                        frozen_bn=cfg.frozen_bn)
     raise ValueError(f"unknown net: {cfg.net!r}")
 
 

@@ -62,13 +62,21 @@ class ResNet(nn.Module):
     dtype: Any = jnp.bfloat16
     bn_momentum: float = 0.9                # torch momentum 0.1
     bn_axis_name: Optional[str] = None      # set for cross-replica SyncBN
+    # FrozenBatchNorm2d semantics (resnet50_fpn_model.py:5, torchvision
+    # ops.misc): normalize with the stored statistics even in train mode
+    # and never update them. The variable tree is IDENTICAL to live BN
+    # (scale/bias params + mean/var batch_stats), so checkpoints and torch
+    # imports are interchangeable; the affine params are excluded from
+    # updates by the optimizer label tree (train/state.py).
+    frozen_bn: bool = False
 
     @nn.compact
     def __call__(self, x, train: bool = False) -> Tuple[jnp.ndarray, ...]:
-        norm = partial(nn.BatchNorm, use_running_average=not train,
+        bn_train = train and not self.frozen_bn
+        norm = partial(nn.BatchNorm, use_running_average=not bn_train,
                        momentum=self.bn_momentum, epsilon=1e-5,
                        dtype=self.dtype, param_dtype=jnp.float32,
-                       axis_name=self.bn_axis_name if train else None)
+                       axis_name=self.bn_axis_name if bn_train else None)
 
         y = nn.Conv(64, (7, 7), strides=(2, 2), padding=3, use_bias=False,
                     dtype=self.dtype, name="conv1")(x)
@@ -94,6 +102,7 @@ def resnet50_yolact(dtype=jnp.bfloat16, bn_axis_name=None) -> ResNet:
                   bn_axis_name=bn_axis_name)
 
 
-def resnet50_rcnn(dtype=jnp.bfloat16, bn_axis_name=None) -> ResNet:
+def resnet50_rcnn(dtype=jnp.bfloat16, bn_axis_name=None,
+                  frozen_bn=False) -> ResNet:
     return ResNet(layers=(3, 4, 6, 3), out_stages=(1, 2, 3, 4), dtype=dtype,
-                  bn_axis_name=bn_axis_name)
+                  bn_axis_name=bn_axis_name, frozen_bn=frozen_bn)

@@ -55,12 +55,42 @@ def make_optimizer(optimizer_type: str, momentum: float, weight_decay: float,
     return optax.inject_hyperparams(base)(learning_rate=lr)
 
 
-def backbone_trainability(params, frozen_backbone: bool) -> Any:
-    """Label tree for multi_transform: backbone params 'frozen' during the
-    freeze phase, everything else 'train'."""
+_BN_NAMES = ("bn1", "bn2", "bn3", "down_bn")
+
+
+def backbone_trainability(params, frozen_backbone: bool, net: str = "yolact",
+                          trainable_layers: int = 5,
+                          frozen_bn: bool = False) -> Any:
+    """Label tree for multi_transform ('train' / 'frozen').
+
+    Three freeze sources, matching the reference:
+    * phase freeze — freeze_backbone(): the yolact backbone
+      (nets/yolact.py:207-209) or, for Mask R-CNN, the whole
+      BackboneWithFPN = body + FPN (faster_rcnn_framework.py:117-119).
+    * trainable_layers (Mask R-CNN only, resnet50_fpn_model.py:163-180):
+      ['layer4','layer3','layer2','layer1','conv1'][:n] train, the rest of
+      the resnet body is PERMANENTLY frozen ('bn1' added only at n=5).
+    * frozen_bn: FrozenBatchNorm2d affine params never train (they are
+      buffers in torchvision's FrozenBatchNorm2d).
+    """
+    is_rcnn = net == "mask_rcnn"
+    layers_to_train = ["layer4", "layer3", "layer2", "layer1",
+                       "conv1"][:trainable_layers]
+    if trainable_layers == 5:
+        layers_to_train.append("bn1")
+    phase_roots = ("backbone", "fpn") if is_rcnn else ("backbone",)
+
     flat = flax.traverse_util.flatten_dict(params)
-    labels = {k: ("frozen" if frozen_backbone and k[0] == "backbone"
-                  else "train") for k in flat}
+    labels = {}
+    for k in flat:
+        frozen = frozen_backbone and k[0] in phase_roots
+        if k[0] == "backbone":
+            if is_rcnn and not any(k[1].startswith(t)
+                                   for t in layers_to_train):
+                frozen = True
+            if frozen_bn and k[-2] in _BN_NAMES:
+                frozen = True
+        labels[k] = "frozen" if frozen else "train"
     return flax.traverse_util.unflatten_dict(labels)
 
 
@@ -68,11 +98,16 @@ def make_phase_optimizer(cfg, lr: float, frozen_backbone: bool, params
                          ) -> optax.GradientTransformation:
     inner = make_optimizer(cfg.optimizer_type, cfg.momentum,
                            cfg.weight_decay, lr)
-    if not frozen_backbone:
+    labels = backbone_trainability(
+        params, frozen_backbone, net=cfg.net,
+        trainable_layers=(cfg.trainable_layers if cfg.net == "mask_rcnn"
+                          else 5),
+        frozen_bn=cfg.frozen_bn)
+    flat = flax.traverse_util.flatten_dict(labels)
+    if all(v == "train" for v in flat.values()):
         return inner
     return optax.multi_transform(
-        {"train": inner, "frozen": optax.set_to_zero()},
-        backbone_trainability(params, True))
+        {"train": inner, "frozen": optax.set_to_zero()}, labels)
 
 
 def set_learning_rate(opt_state, lr: float):

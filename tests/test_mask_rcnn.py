@@ -89,6 +89,76 @@ def test_postprocess_detections_shapes():
 
 
 @pytest.mark.slow
+def test_frozen_bn_and_trainable_layers():
+    """FrozenBN + trainable_layers=3 parity (resnet50_fpn_model.py:163-199):
+    in the UNFREEZE phase, conv1/bn1/layer1 and every backbone BN affine
+    stay constant, batch_stats never update, layer2+ and FPN train."""
+    import flax
+    from instancesegmentation_tpu.config import get_config
+    from instancesegmentation_tpu.models import get_model
+    from instancesegmentation_tpu.train.state import (create_train_state,
+                                                      make_phase_optimizer)
+    from instancesegmentation_tpu.train.steps import make_mask_rcnn_train_step
+
+    cfg = get_config("mask_rcnn_synth", input_shape=(64, 64), max_instances=4,
+                     mixed_precision=False, frozen_bn=True,
+                     trainable_layers=3)
+    model = get_model(cfg, train_mode=True)
+    b = 2
+    sample = np.zeros((b, 64, 64, 3), np.float32)
+    state = create_train_state(model, cfg, jax.random.key(0), sample,
+                               lr=1e-2, frozen_backbone=False)
+    tx = make_phase_optimizer(cfg, 1e-2, False, state.params)
+    step = jax.jit(make_mask_rcnn_train_step(model, tx, cfg))
+
+    m = cfg.max_instances
+    batch = {
+        "image": np.random.RandomState(0).randn(b, 64, 64, 3).astype(np.float32),
+        "boxes": np.tile(np.array([[0.1, 0.1, 0.6, 0.7]], np.float32), (b, m, 1)),
+        "labels": np.ones((b, m), np.int32),
+        "masks": np.zeros((b, m, 64, 64), np.uint8),
+        "valid": np.tile(np.arange(m) < 2, (b, 1)),
+        "is_crowd": np.zeros((b, m), bool),
+    }
+    batch["masks"][:, :, 8:40, 8:40] = 1
+    new, _ = step(state, {k: jnp.asarray(v) for k, v in batch.items()},
+                  jax.random.key(1))
+
+    old_p = flax.traverse_util.flatten_dict(state.params)
+    new_p = flax.traverse_util.flatten_dict(new.params)
+    changed = {k for k in old_p
+               if not np.allclose(np.asarray(old_p[k]), np.asarray(new_p[k]))}
+    for k in old_p:
+        is_backbone = k[0] == "backbone"
+        perm_frozen = is_backbone and (
+            k[1].startswith(("conv1", "bn1", "layer1"))
+            or k[-2] in ("bn1", "bn2", "bn3", "down_bn"))
+        if perm_frozen:
+            assert k not in changed, k
+    # sanity: upper stages and FPN actually train
+    assert any(k[0] == "backbone" and k[1].startswith("layer4")
+               and k[-1] == "kernel" for k in changed)
+    assert any(k[0] == "fpn" for k in changed)
+    # FrozenBN: statistics untouched
+    old_s = flax.traverse_util.flatten_dict(state.batch_stats)
+    new_s = flax.traverse_util.flatten_dict(new.batch_stats)
+    for k in old_s:
+        np.testing.assert_array_equal(np.asarray(old_s[k]),
+                                      np.asarray(new_s[k]))
+
+    # freeze phase additionally freezes the FPN (BackboneWithFPN,
+    # faster_rcnn_framework.py:117-119)
+    from instancesegmentation_tpu.train.state import backbone_trainability
+    labels = flax.traverse_util.flatten_dict(backbone_trainability(
+        state.params, True, net="mask_rcnn", trainable_layers=3,
+        frozen_bn=True))
+    assert all(v == "frozen" for k, v in labels.items() if k[0] == "fpn")
+    assert all(v == "frozen" for k, v in labels.items() if k[0] == "backbone")
+    assert any(v == "train" for k, v in labels.items()
+               if k[0] not in ("backbone", "fpn"))
+
+
+@pytest.mark.slow
 def test_mask_rcnn_train_step_smoke():
     """Tiny full train step: finite losses, one optimizer update."""
     from instancesegmentation_tpu.config import get_config

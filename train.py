@@ -35,6 +35,9 @@ def parse_args(argv=None):
                    help="override UnFreeze_Epoch (total epochs)")
     p.add_argument("--batch_size", type=int, default=None,
                    help="override freeze-phase batch size")
+    p.add_argument("--save_period", type=int, default=None,
+                   help="write checkpoints every N epochs (full-state "
+                        "writes cost seconds; raise for long small runs)")
     p.add_argument("--smoke", action="store_true",
                    help="cap epochs/steps for a quick end-to-end check")
     p.add_argument("--f32", action="store_true",
@@ -54,7 +57,8 @@ def main(argv=None):
     overrides = {}
     for key, attr in (("data_root", "data_root"), ("out_root", "out_root"),
                       ("epochs", "unfreeze_epoch"),
-                      ("batch_size", "freeze_batch_size")):
+                      ("batch_size", "freeze_batch_size"),
+                      ("save_period", "save_period")):
         v = getattr(args, key)
         if v is not None:
             overrides[attr] = v
