@@ -38,7 +38,7 @@ from instancesegmentation_tpu.ops.anchors import (fpn_feature_sizes,
                                                   rcnn_grid_anchors,
                                                   rcnn_level_sizes)
 from instancesegmentation_tpu.ops.roi_align import \
-    multiscale_roi_align_separable as multiscale_roi_align
+    multiscale_roi_align_separable
 
 PRE_NMS_TOPK_TRAIN = 2000     # faster_rcnn_framework.py:261
 PRE_NMS_TOPK_TEST = 1000
@@ -46,6 +46,19 @@ POST_NMS_TOPK_TRAIN = 2000
 POST_NMS_TOPK_TEST = 1000
 MASK_ROIS_PER_IMAGE = 128     # = 512 * positive_fraction 0.25
 ROI_SCALES = (0.25, 0.125, 0.0625, 0.03125)   # P2..P5
+
+
+def multiscale_roi_align(feats, rois, out_size, spatial_scales):
+    """MultiScaleRoIAlign dispatch: the Pallas kernel (custom VJP) on TPU,
+    the jnp separable-matmul form elsewhere (CPU tests, interpret golden).
+    Both are exactly-equal implementations of torchvision roi_align."""
+    if jax.default_backend() == "tpu":
+        from instancesegmentation_tpu.ops.pallas.roi_align import \
+            multiscale_roi_align_pallas
+        return multiscale_roi_align_pallas(feats, rois, out_size,
+                                           spatial_scales)
+    return multiscale_roi_align_separable(feats, rois, out_size,
+                                          spatial_scales)
 
 
 def _geometry(input_shape):

@@ -15,15 +15,19 @@ iota), and both contractions hit the MXU with f32 accumulation.
 
 Numerics match torchvision roi_align with aligned=False (bf16 feature
 rounding aside); verified against ops/roi_align.py's golden in interpret
-mode and on device. Forward-only: the training path uses the jnp
-separable formulation (XLA fuses its backward well); this kernel serves
-inference.
+mode and on device.
+
+Training uses ``roi_align_tpu`` — the kernel forward plus an analytic
+custom VJP (the separable form makes the feature gradient two transposed
+matmuls: dF = sum_r By_r^T @ (g_r @ Bx_r)); rois receive zero gradient,
+matching torchvision's roi_align backward (and the reference detaches
+proposals before the heads anyway, rpn_function.py:623).
 """
 
 from __future__ import annotations
 
 import functools
-from typing import Tuple
+from typing import Sequence, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -111,3 +115,78 @@ def roi_align_pallas(feat: jnp.ndarray, rois: jnp.ndarray,
         interpret=interpret,
     )(rois_p, feat.astype(jnp.bfloat16).reshape(h, w * c))
     return out[:r].reshape(r, oh, ow, c).astype(feat.dtype)
+
+
+# ---------------------------------------------------------------------------
+# Differentiable wrapper (custom VJP) + multiscale dispatch
+# ---------------------------------------------------------------------------
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4, 5))
+def roi_align_tpu(feat: jnp.ndarray, rois: jnp.ndarray,
+                  out_size: Tuple[int, int], spatial_scale: float,
+                  sampling_ratio: int = 2, interpret: bool = False
+                  ) -> jnp.ndarray:
+    """Pallas roi_align with an analytic feature-gradient VJP."""
+    return roi_align_pallas(feat, rois, out_size, spatial_scale,
+                            sampling_ratio, interpret=interpret)
+
+
+def _roi_align_fwd(feat, rois, out_size, spatial_scale, sampling_ratio,
+                   interpret):
+    out = roi_align_pallas(feat, rois, out_size, spatial_scale,
+                           sampling_ratio, interpret=interpret)
+    # zero-size marker carries feat's (H, W) and dtype statically
+    marker = jnp.zeros(feat.shape[:2] + (0,), feat.dtype)
+    return out, (rois, marker)
+
+
+def _roi_align_bwd(out_size, spatial_scale, sampling_ratio, interpret,
+                   residual, g):
+    """dF[h,w,c] = sum_r By_r[y,h] * Bx_r[x,w] * g_r[y,x,c] — the exact
+    transpose of the separable forward; two matmuls on the MXU."""
+    from instancesegmentation_tpu.ops.roi_align import _interp_pool_matrix
+
+    rois, marker = residual
+    h, w, _ = marker.shape
+    oh, ow = out_size
+    roi = rois.astype(jnp.float32) * spatial_scale
+    x1, y1 = roi[:, 0], roi[:, 1]
+    roi_w = jnp.maximum(roi[:, 2] - roi[:, 0], 1.0)
+    roi_h = jnp.maximum(roi[:, 3] - roi[:, 1], 1.0)
+    by = _interp_pool_matrix(y1, roi_h / oh, h, oh,
+                             sampling_ratio, jnp.float32)        # (R, oh, H)
+    bx = _interp_pool_matrix(x1, roi_w / ow, w, ow,
+                             sampling_ratio, jnp.float32)        # (R, ow, W)
+    g32 = g.astype(jnp.float32)                                  # (R,oh,ow,C)
+    dtmp = jnp.einsum("rxw,ryxc->rywc", bx, g32,
+                      preferred_element_type=jnp.float32)        # (R,oh,W,C)
+    dfeat = jnp.einsum("ryh,rywc->hwc", by, dtmp,
+                       preferred_element_type=jnp.float32)       # (H,W,C)
+    return dfeat.astype(marker.dtype), jnp.zeros_like(rois)
+
+
+roi_align_tpu.defvjp(_roi_align_fwd, _roi_align_bwd)
+
+
+def multiscale_roi_align_pallas(feats: Sequence[jnp.ndarray],
+                                rois: jnp.ndarray,
+                                out_size: Tuple[int, int],
+                                spatial_scales: Sequence[float],
+                                sampling_ratio: int = 2,
+                                interpret: bool = False) -> jnp.ndarray:
+    """MultiScaleRoIAlign on the Pallas kernel (train + infer hot path).
+
+    Same branch-free structure as multiscale_roi_align_separable: every
+    level is computed and the canonical-level one-hot selects per roi —
+    level cost scales with level H, so all four levels cost ~1.3x P2.
+    """
+    from instancesegmentation_tpu.ops.roi_align import fpn_level_assignment
+
+    levels = fpn_level_assignment(rois)
+    sel = jax.nn.one_hot(levels, len(feats), dtype=jnp.float32)   # (R, L)
+    out = None
+    for li, (f, sc) in enumerate(zip(feats, spatial_scales)):
+        o = roi_align_tpu(f, rois, out_size, sc, sampling_ratio, interpret)
+        o = o * sel[:, li][:, None, None, None].astype(o.dtype)
+        out = o if out is None else out + o
+    return out

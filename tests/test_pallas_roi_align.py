@@ -23,6 +23,50 @@ def test_pallas_matches_golden_interpret(rng, scale):
     np.testing.assert_allclose(ours, golden, rtol=2e-2, atol=2e-2)
 
 
+def test_pallas_vjp_matches_separable_grad(rng):
+    """The analytic custom VJP equals autodiff through the separable form
+    (the golden trains Mask R-CNN when not on TPU)."""
+    import jax
+    from instancesegmentation_tpu.ops.pallas.roi_align import roi_align_tpu
+
+    feat = rng.randn(16, 16, 8).astype(np.float32)
+    rois = np.array([[4, 4, 40, 60], [0, 0, 16, 16], [2.5, 3.5, 30.2, 44.9],
+                     [10, 6, 60, 50]], np.float32)
+    cot = rng.randn(4, 7, 7, 8).astype(np.float32)
+
+    def f_pallas(f):
+        out = roi_align_tpu(f, jnp.asarray(rois), (7, 7), 0.25, 2, True)
+        return jnp.vdot(out, jnp.asarray(cot))
+
+    def f_golden(f):
+        out = ra.roi_align_separable(f, jnp.asarray(rois), (7, 7), 0.25, 2)
+        return jnp.vdot(out, jnp.asarray(cot))
+
+    g_pallas = np.asarray(jax.grad(f_pallas)(jnp.asarray(feat)))
+    g_golden = np.asarray(jax.grad(f_golden)(jnp.asarray(feat)))
+    np.testing.assert_allclose(g_pallas, g_golden, rtol=2e-2, atol=2e-2)
+    assert np.abs(g_pallas).sum() > 0
+
+
+def test_multiscale_pallas_matches_separable(rng):
+    import jax
+    from instancesegmentation_tpu.ops.pallas.roi_align import \
+        multiscale_roi_align_pallas
+
+    feats = tuple(jnp.asarray(rng.randn(s, s, 8).astype(np.float32))
+                  for s in (32, 16, 8, 4))
+    scales = (0.25, 0.125, 0.0625, 0.03125)
+    # small + large rois to hit different levels
+    rois = jnp.asarray(np.array(
+        [[0, 0, 30, 30], [0, 0, 120, 128], [5, 5, 9, 9], [8, 16, 100, 90]],
+        np.float32))
+    golden = np.asarray(ra.multiscale_roi_align_separable(
+        feats, rois, (7, 7), scales))
+    ours = np.asarray(multiscale_roi_align_pallas(
+        feats, rois, (7, 7), scales, interpret=True))
+    np.testing.assert_allclose(ours, golden, rtol=2e-2, atol=2e-2)
+
+
 def test_pallas_roi_padding(rng):
     """Roi count not divisible by roi_block."""
     feat = rng.randn(8, 8, 4).astype(np.float32)
