@@ -38,8 +38,6 @@ def main(argv=None):
 
     from instancesegmentation_tpu.config import get_config
     from instancesegmentation_tpu.models import get_model
-    from instancesegmentation_tpu.models.yolact.predict import make_infer_fn
-    from instancesegmentation_tpu.ops.anchors import yolact_anchors
 
     cfg = get_config(args.config)
     out_dir = os.path.join(cfg.out_root, cfg.name)
@@ -66,19 +64,36 @@ def main(argv=None):
             variables = model.init({"params": jax.random.key(0)}, image,
                                    train=False)
 
-    anchors = yolact_anchors(cfg.input_shape, cfg.anchors_size)
     conf = args.confidence if args.confidence is not None else cfg.confidence
     iou = args.nms_iou if args.nms_iou is not None else cfg.nms_iou
-    infer = make_infer_fn(model, anchors, conf, iou, cfg.top_k,
-                          cfg.max_detections)
 
-    # namedtuple outputs need registered serialization
-    from instancesegmentation_tpu.models.yolact.predict import RawDetections
-    try:
-        jax.export.register_namedtuple_serialization(
-            RawDetections, serialized_name="instseg.RawDetections")
-    except ValueError:
-        pass  # already registered
+    def register(nt, name):
+        # namedtuple outputs need registered serialization
+        try:
+            jax.export.register_namedtuple_serialization(
+                nt, serialized_name=name)
+        except ValueError:
+            pass  # already registered
+
+    if cfg.net == "yolact":
+        from instancesegmentation_tpu.models.yolact.predict import (
+            RawDetections, make_infer_fn)
+        from instancesegmentation_tpu.ops.anchors import yolact_anchors
+        anchors = yolact_anchors(cfg.input_shape, cfg.anchors_size)
+        infer = make_infer_fn(model, anchors, conf, iou, cfg.top_k,
+                              cfg.max_detections)
+        register(RawDetections, "instseg.RawDetections")
+    else:
+        # Mask R-CNN export path (the reference exports whatever
+        # get_model(opt) returns, export.py:158-162)
+        from instancesegmentation_tpu.models.mask_rcnn.meta import \
+            make_mask_rcnn_infer_fn
+        from instancesegmentation_tpu.models.mask_rcnn.roi_heads import \
+            Detections
+        infer = make_mask_rcnn_infer_fn(model, cfg,
+                                        max_det=cfg.max_detections,
+                                        nms_thresh=iou)
+        register(Detections, "instseg.Detections")
 
     # close over weights: the artifact is self-contained like an .onnx file
     fn = jax.jit(lambda img: infer(variables, img))

@@ -217,7 +217,11 @@ def _yolact_synth() -> Config:
                   class_names=tuple(SHAPE_CLASSES),
                   input_shape=(160, 160), max_instances=8,
                   freeze_epoch=1, unfreeze_epoch=2,
-                  freeze_batch_size=4, unfreeze_batch_size=4,
+                  # batch 16 = the whole synthetic train set per step; it
+                  # also lifts the unfreeze adam LR to the reference's
+                  # 1e-4 clamp (bs/nbs scaling, trainer.py:185-189) —
+                  # at bs 4 the scaled LR (3e-5) cannot memorize the set
+                  freeze_batch_size=16, unfreeze_batch_size=16,
                   num_workers=2, ema=False, early_stopping=False)
 
 

@@ -81,20 +81,46 @@ def run_coco_eval(gt: COCO, bbox_json: str, mask_json: str,
 
 
 def evaluate_predictor(predictor, dataset, label_map, out_dir: str,
-                       max_images: int = 100, map_mode: int = 0):
+                       max_images: int = 100, map_mode: int = 0,
+                       batch_size: int = 8, _multihost=None):
     """Full eval driver (eval.py:31-96). map_mode: 0=predict+metrics,
-    1=predict only, 2=metrics only. Returns stats or None."""
+    1=predict only, 2=metrics only. Returns stats or None.
+
+    Throughput: images run through ``get_map_out_batch`` in chunks of
+    ``batch_size`` (tail chunks padded by repetition so only one graph is
+    compiled). Multi-host: each process takes a strided shard of the image
+    ids, results are merged rank-0-side with image-id dedup and only the
+    main process dumps/evaluates (the reference's EvalCOCOMetric path,
+    annotation/train_utils/coco_eval.py:146-163). ``_multihost`` is
+    injectable for tests."""
+    mh = _multihost
+    if mh is None:
+        from instancesegmentation_tpu.parallel import multihost as mh
     ids = dataset.ids[:max_images]
     bbox_json = os.path.join(out_dir, "bbox_detections.json")
     mask_json = os.path.join(out_dir, "mask_detections.json")
 
     if map_mode in (0, 1):
         mj = MakeJson(label_map)
-        for idx, image_id in enumerate(ids):
-            image = dataset.load_image(image_id)
-            boxes, scores, classes, masks = predictor.get_map_out(image)
-            mj.prep_metrics(image_id, boxes, scores, classes, masks)
-        mj.dump(out_dir)
-    if map_mode in (0, 2):
+        local_ids = ids[mh.process_rank()::mh.world_size()]
+        if hasattr(predictor, "get_map_out_batch"):
+            for i in range(0, len(local_ids), batch_size):
+                chunk = local_ids[i:i + batch_size]
+                images = [dataset.load_image(im_id) for im_id in chunk]
+                padded = images + [images[-1]] * (batch_size - len(images))
+                outs = predictor.get_map_out_batch(padded)[:len(chunk)]
+                for image_id, (boxes, scores, classes, masks) in zip(chunk,
+                                                                     outs):
+                    mj.prep_metrics(image_id, boxes, scores, classes, masks)
+        else:
+            for image_id in local_ids:
+                image = dataset.load_image(image_id)
+                boxes, scores, classes, masks = predictor.get_map_out(image)
+                mj.prep_metrics(image_id, boxes, scores, classes, masks)
+        mj.bbox_data = mh.merge_eval_results(mj.bbox_data)
+        mj.mask_data = mh.merge_eval_results(mj.mask_data)
+        if mh.is_main_process():
+            mj.dump(out_dir)
+    if map_mode in (0, 2) and mh.is_main_process():
         return run_coco_eval(dataset.coco, bbox_json, mask_json, img_ids=ids)
     return None

@@ -84,24 +84,39 @@ class MaskRCNNPredictor:
         x = (x - RcnnCollate.IMAGENET_MEAN) / RcnnCollate.IMAGENET_STD
         return x[None]
 
-    def raw_detect(self, image_rgb: np.ndarray, score_thresh=None):
-        h, w = image_rgb.shape[:2]
+    def _finish(self, dets_i, probs_i, orig_hw, thresh):
+        """Host-side finishing for ONE image: threshold, rescale boxes to
+        the original resolution, paste 28^2 mask probs (transform.py:
+        388-418)."""
+        h, w = orig_hw
         ih, iw = self.input_shape
-        dets, mask_probs = self._infer(self.variables,
-                                       self._preprocess(image_rgb))
-        thresh = self.confidence if score_thresh is None else score_thresh
-        valid = np.asarray(dets.valid[0]) & (np.asarray(dets.scores[0]) >= thresh)
-        boxes = np.asarray(dets.boxes[0])[valid]
-        # rescale from network input to original image
+        valid = dets_i["valid"] & (dets_i["scores"] >= thresh)
+        boxes = dets_i["boxes"][valid]
         boxes = boxes * np.array([w / iw, h / ih, w / iw, h / ih], np.float32)
-        scores = np.asarray(dets.scores[0])[valid]
-        labels = np.asarray(dets.labels[0])[valid]          # 1..K
-        probs = np.asarray(mask_probs[0])[valid]            # (N, 28, 28)
+        scores = dets_i["scores"][valid]
+        labels = dets_i["labels"][valid]                    # 1..K
+        probs = probs_i[valid]                              # (N, 28, 28)
         masks = np.stack([paste_mask(p, b, h, w)
                           for p, b in zip(probs, boxes)]) \
             if len(boxes) else np.zeros((0, h, w), bool)
         return {"boxes": boxes, "scores": scores,
                 "classes": labels - 1, "masks": masks}
+
+    def raw_detect(self, image_rgb: np.ndarray, score_thresh=None):
+        return self.raw_detect_batch([image_rgb], score_thresh)[0]
+
+    def raw_detect_batch(self, images_rgb, score_thresh=None):
+        """Batched inference: one device dispatch per chunk (the eval
+        throughput path). A new batch size triggers one extra compile."""
+        batch = np.concatenate([self._preprocess(im) for im in images_rgb])
+        dets, mask_probs = self._infer(self.variables, batch)
+        dets = {"boxes": np.asarray(dets.boxes), "scores": np.asarray(dets.scores),
+                "labels": np.asarray(dets.labels), "valid": np.asarray(dets.valid)}
+        mask_probs = np.asarray(mask_probs)
+        thresh = self.confidence if score_thresh is None else score_thresh
+        return [self._finish({k: v[i] for k, v in dets.items()},
+                             mask_probs[i], images_rgb[i].shape[:2], thresh)
+                for i in range(len(images_rgb))]
 
     # -- reference API ---------------------------------------------------
     def detect_image(self, image_rgb: np.ndarray) -> np.ndarray:
@@ -136,3 +151,8 @@ class MaskRCNNPredictor:
     def get_map_out(self, image_rgb: np.ndarray):
         det = self.raw_detect(image_rgb, score_thresh=0.0)
         return (det["boxes"], det["scores"], det["classes"], det["masks"])
+
+    def get_map_out_batch(self, images_rgb):
+        dets = self.raw_detect_batch(images_rgb, score_thresh=0.0)
+        return [(d["boxes"], d["scores"], d["classes"], d["masks"])
+                for d in dets]

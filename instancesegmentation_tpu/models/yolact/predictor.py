@@ -129,3 +129,10 @@ class YolactPredictor:
         full-res binary masks."""
         det = self.raw_detect(image_rgb)
         return (det["boxes"], det["scores"], det["classes"], det["masks"])
+
+    def get_map_out_batch(self, images_rgb):
+        """Batched get_map_out: one device dispatch for the whole chunk
+        (the eval loop's throughput path — PERF_NOTES lead #5)."""
+        dets = self.raw_detect_batch(images_rgb)
+        return [(d["boxes"], d["scores"], d["classes"], d["masks"])
+                for d in dets]

@@ -69,20 +69,19 @@ def gather_objects(local: Sequence[Any]) -> List[Any]:
     return out
 
 
-def merge_eval_results(local_results: Sequence[dict]) -> List[dict]:
-    """Cross-host merge with duplicate-image dedup (coco_eval.py:11-31):
-    when hosts evaluated overlapping image ids (padded sharding), keep the
-    first occurrence of each (image_id, category_id, bbox/segm) result's
-    image."""
-    merged = gather_objects(local_results)
-    seen = set()
+def merge_eval_results(local_results: Sequence[dict],
+                       _gather=None) -> List[dict]:
+    """Cross-host merge with duplicate-IMAGE dedup (coco_eval.py:11-31 /
+    EvalCOCOMetric.merge): when hosts evaluated overlapping image ids
+    (padded sharding), every result of that image is kept from exactly one
+    host — per-result dedup would double-count an image whose two hosts
+    produced different detections. ``_gather`` is injectable for tests."""
+    gather = _gather or gather_objects
+    merged = gather([(process_rank(), list(local_results))])
+    owner = {}
     out = []
-    for r in merged:
-        key = r.get("image_id")
-        marker = (key, r.get("category_id"), tuple(r.get("bbox", [])) or
-                  str(r.get("segmentation", ""))[:64], r.get("score"))
-        if marker in seen:
-            continue
-        seen.add(marker)
-        out.append(r)
+    for rank, results in sorted(merged, key=lambda t: t[0]):
+        for r in results:
+            if owner.setdefault(r["image_id"], rank) == rank:
+                out.append(r)
     return out

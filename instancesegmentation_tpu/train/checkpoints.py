@@ -10,8 +10,9 @@ handles multi-host coordination.
 
 from __future__ import annotations
 
+import json
 import os
-from typing import Any, Optional
+from typing import Any, Dict, Optional
 
 import orbax.checkpoint as ocp
 
@@ -25,7 +26,7 @@ class CheckpointIO:
     def _path(self, name: str) -> str:
         return os.path.join(self.directory, name)
 
-    def save(self, name: str, state: Any):
+    def save(self, name: str, state: Any, meta: Optional[Dict] = None):
         # 1) snapshot to host first: the trainer DONATES state buffers on
         #    the next step, which races orbax's async device reads (hangs);
         # 2) serialize saves: force=True deletes the target dir, which
@@ -34,20 +35,35 @@ class CheckpointIO:
         host_state = jax.device_get(state)
         self._ckptr.wait_until_finished()
         self._ckptr.save(self._path(name), host_state, force=True)
+        if meta is not None:
+            # sidecar epoch/phase record: resume derives start_epoch from
+            # here instead of step // steps_per_epoch, which miscounts
+            # across the phase switch (batch size changes at unfreeze)
+            with open(self._path(name) + ".meta.json", "w") as f:
+                json.dump(meta, f)
+
+    def load_meta(self, name: str) -> Optional[Dict]:
+        path = self._path(name) + ".meta.json"
+        if not os.path.exists(path):
+            return None
+        with open(path) as f:
+            return json.load(f)
 
     def save_epoch(self, epoch: int, state: Any, train_loss: float,
                    val_loss: float, is_best: bool,
-                   keep_epoch_files: bool = False):
+                   keep_epoch_files: bool = False,
+                   meta: Optional[Dict] = None):
         """Reference naming: ep%03d-loss%.3f-val_loss%.3f + best/last
         (models/script.py:134-144). Per-epoch snapshot files are opt-in:
         best+last cover resume/deploy, and a full-state snapshot per epoch
         triples checkpoint I/O for no benefit."""
+        meta = {"epoch": epoch, **(meta or {})}
         if keep_epoch_files:
             self.save(f"ep{epoch + 1:03d}-loss{train_loss:.3f}"
-                      f"-val_loss{val_loss:.3f}", state)
+                      f"-val_loss{val_loss:.3f}", state, meta)
         if is_best:
-            self.save("best_epoch_weights", state)
-        self.save("last_epoch_weights", state)
+            self.save("best_epoch_weights", state, meta)
+        self.save("last_epoch_weights", state, meta)
 
     def restore(self, name: str, template: Any) -> Any:
         self._ckptr.wait_until_finished()

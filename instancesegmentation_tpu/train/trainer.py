@@ -150,8 +150,14 @@ class Trainer:
                         if self.state.ema_params is not None else None)
                     log.warning("resume: checkpoint is from the other "
                                 "training phase; optimizer state reset")
-                self.start_epoch = int(self.state.step) // max(
-                    1, len(self.train_ds) // self.batch_size)
+                meta = self.ckpt.load_meta(name)
+                if meta is not None and "epoch" in meta:
+                    # saved-epoch record: exact across the phase switch,
+                    # where steps-per-epoch changes with the batch size
+                    self.start_epoch = int(meta["epoch"]) + 1
+                else:
+                    self.start_epoch = int(self.state.step) // max(
+                        1, len(self.train_ds) // self.batch_size)
                 log.info("resumed from %s at epoch %d", name, self.start_epoch)
 
     # ------------------------------------------------------------------
@@ -256,20 +262,26 @@ class Trainer:
             # save_period (a full-state write costs seconds)
             if is_best:
                 self._best_state = jax.tree_util.tree_map(jnp_copy, self.state)
+                self._best_epoch = epoch
                 self._best_dirty = True
             if (epoch + 1) % cfg.save_period == 0 or epoch + 1 == cfg.unfreeze_epoch:
                 if getattr(self, "_best_dirty", False):
-                    self.ckpt.save("best_epoch_weights", self._best_state)
+                    self.ckpt.save("best_epoch_weights", self._best_state,
+                                   meta={"epoch": self._best_epoch,
+                                         "frozen": self.frozen})
                     self._best_dirty = False
                 self.ckpt.save_epoch(epoch, self.state, tr_loss, va_loss,
                                      is_best=False,
-                                     keep_epoch_files=cfg.keep_epoch_checkpoints)
+                                     keep_epoch_files=cfg.keep_epoch_checkpoints,
+                                     meta={"frozen": self.frozen})
             log.info("epoch %d/%d  lr %.2e  train %.4f  val %.4f  (%.1fs)",
                      epoch + 1, cfg.unfreeze_epoch, lr, tr_loss, va_loss, dt)
             result = {"epoch": epoch, "train_loss": tr_loss, "val_loss": va_loss}
 
         if getattr(self, "_best_dirty", False):
-            self.ckpt.save("best_epoch_weights", self._best_state)
+            self.ckpt.save("best_epoch_weights", self._best_state,
+                           meta={"epoch": self._best_epoch,
+                                 "frozen": self.frozen})
             self._best_dirty = False
         self.ckpt.wait()
         return result
@@ -327,7 +339,15 @@ class Trainer:
             device_batch = shard_batch(
                 {k: v for k, v in batch.items() if k != "image_id"}, self.mesh)
             losses = self.eval_step(self.state, device_batch, eval_rng)
-            total += float(losses["total"])
+            loss = float(losses["total"])
+            if not np.isfinite(loss):
+                # the reference only guards the train loop; an unguarded
+                # NaN val loss silently corrupts best-checkpoint tracking
+                # (min over a list containing NaN)
+                raise FloatingPointError(
+                    f"non-finite VAL loss at epoch {epoch} batch {i}: "
+                    f"{jax.tree_util.tree_map(float, losses)}")
+            total += loss
             n += 1
         return total / max(n, 1)
 

@@ -54,10 +54,12 @@ def test_gather_objects_single_host():
     assert gather_objects([{"a": 1}, {"b": 2}]) == [{"a": 1}, {"b": 2}]
 
 
-def test_merge_eval_results_dedup():
+def test_merge_eval_results_single_host_identity():
+    """Dedup is per-IMAGE across hosts (coco_eval.py:11-31), so a single
+    host's results — including same-image detections — pass unchanged."""
     from instancesegmentation_tpu.parallel.multihost import merge_eval_results
     r = [{"image_id": 1, "category_id": 2, "bbox": [0, 0, 1, 1], "score": 0.5},
-         {"image_id": 1, "category_id": 2, "bbox": [0, 0, 1, 1], "score": 0.5},
+         {"image_id": 1, "category_id": 2, "bbox": [0, 0, 2, 2], "score": 0.4},
          {"image_id": 2, "category_id": 2, "bbox": [0, 0, 1, 1], "score": 0.5}]
     out = merge_eval_results(r)
-    assert len(out) == 2
+    assert out == r

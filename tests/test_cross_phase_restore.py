@@ -68,3 +68,34 @@ def test_resume_across_phase(freeze_ckpt, tmp_path):
               os.path.join(ckdir, "last_epoch_weights"))
     tr = Trainer(cfg2, resume=True)          # must not raise
     assert int(tr.state.step) == 0
+
+    # resume epoch comes from the sidecar meta, not step//steps_per_epoch
+    # (which miscounts when the phase switch changed the batch size)
+    from instancesegmentation_tpu.train.checkpoints import CheckpointIO
+    io = CheckpointIO(ckdir)
+    io.save("last_epoch_weights", tr.state, meta={"epoch": 37, "frozen": False})
+    io.wait()
+    tr2 = Trainer(cfg2, resume=True)
+    assert tr2.start_epoch == 38
+
+
+def test_val_nan_aborts(freeze_ckpt, tmp_path):
+    """A non-finite VAL loss must abort instead of silently polluting the
+    best-checkpoint tracking (reference guards only the train loop)."""
+    from instancesegmentation_tpu.config import get_config
+    from instancesegmentation_tpu.train.trainer import Trainer
+    cfg, _ = freeze_ckpt
+    cfg2 = cfg.replace(data_root=str(tmp_path / "synth"),
+                       out_root=str(tmp_path / "out"),
+                       freeze_batch_size=8, unfreeze_batch_size=8,
+                       num_workers=1, unfreeze_epoch=1, freeze_epoch=1)
+    tr = Trainer(cfg2, max_steps_per_epoch=1)
+    real_eval = tr.eval_step
+    import jax.numpy as jnp
+
+    def nan_eval(state, batch, rng):
+        out = real_eval(state, batch, rng)
+        return {k: v * jnp.nan for k, v in out.items()}
+    tr.eval_step = nan_eval
+    with pytest.raises(FloatingPointError, match="VAL"):
+        tr.train()
