@@ -117,19 +117,29 @@ class COCO:
             ann = dict(det)
             ann["id"] = i + 1
             ann.setdefault("iscrowd", 0)
-            if "bbox" in ann and "area" not in ann:
+            # pycocotools ALWAYS recomputes area (any area in the results
+            # json is ignored), with bbox taking precedence over the mask
+            if "bbox" in ann and list(ann["bbox"]):
                 ann["area"] = float(ann["bbox"][2] * ann["bbox"][3])
-            if "segmentation" in ann and "area" not in ann:
-                ann["area"] = float(rle.area(ann["segmentation"]))
-            if "bbox" not in ann and "segmentation" in ann:
-                m = rle.decode(ann["segmentation"])
-                ys, xs = np.nonzero(m)
-                if len(xs):
-                    ann["bbox"] = [float(xs.min()), float(ys.min()),
-                                   float(xs.max() - xs.min() + 1),
-                                   float(ys.max() - ys.min() + 1)]
-                else:
-                    ann["bbox"] = [0.0, 0.0, 0.0, 0.0]
+            elif "segmentation" in ann:
+                seg = ann["segmentation"]
+                if not (isinstance(seg, dict)
+                        and not isinstance(seg.get("counts"), list)):
+                    # polygon / uncompressed results: rasterize first
+                    img = self.imgs[ann["image_id"]]
+                    seg = rle.encode(rle.ann_to_mask(
+                        ann, img["height"], img["width"]))
+                    ann["segmentation"] = seg
+                ann["area"] = float(rle.area(seg))
+                if "bbox" not in ann:
+                    m = rle.decode(seg)
+                    ys, xs = np.nonzero(m)
+                    if len(xs):
+                        ann["bbox"] = [float(xs.min()), float(ys.min()),
+                                       float(xs.max() - xs.min() + 1),
+                                       float(ys.max() - ys.min() + 1)]
+                    else:
+                        ann["bbox"] = [0.0, 0.0, 0.0, 0.0]
             res.dataset["annotations"].append(ann)
         res.create_index()
         return res

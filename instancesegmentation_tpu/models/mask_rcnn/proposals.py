@@ -83,9 +83,18 @@ def filter_proposals(proposals: jnp.ndarray, objectness: jnp.ndarray,
                      pre_nms_top_n: int, post_nms_top_n: int,
                      nms_thresh: float = RPN_NMS_THRESH,
                      min_size: float = 1e-3,
-                     score_thresh: float = 0.0) -> Proposals:
+                     score_thresh: float = 0.0,
+                     nms_top_n: int = 1000) -> Proposals:
     """One image. proposals (A,4) decoded px boxes; objectness (A,) logits;
-    level_sizes: anchors per FPN level (sum == A)."""
+    level_sizes: anchors per FPN level (sum == A).
+
+    Deviation (documented): the fixpoint NMS runs on the top
+    min(pre_nms_top_n, nms_top_n) candidates per level. The reference NMSes
+    the full per-level top-2000 in training (rpn_function.py:601-644), but
+    its cost here is an (N,N) IoU matrix times fixpoint iterations x 5
+    levels; candidates ranked 1000-2000 virtually never survive both NMS
+    0.7 and the global post-NMS top-k cut, and halving N quarters the
+    matrix. Set nms_top_n=pre_nms_top_n for exact reference behavior."""
     kept_boxes, kept_scores, kept_valid = [], [], []
     start = 0
     for size in level_sizes:
@@ -93,7 +102,7 @@ def filter_proposals(proposals: jnp.ndarray, objectness: jnp.ndarray,
         lvl_obj = jax.lax.dynamic_slice_in_dim(objectness, start, size, 0)
         start += size
 
-        k = min(pre_nms_top_n, size)
+        k = min(pre_nms_top_n, nms_top_n, size)
         top_obj, idx = jax.lax.top_k(lvl_obj, k)
         top_boxes = lvl_boxes[idx]
         top_boxes = box_ops.clip_boxes_to_image(top_boxes, image_hw)

@@ -112,3 +112,67 @@ def test_area_ranges():
         ev.summarize()
     assert ev.stats[3] == pytest.approx(1.0)    # AP small
     assert ev.stats[4] == pytest.approx(-1.0)   # AP medium: none
+
+
+def test_crowd_rematch_absorbs_extra_detection():
+    """pycocotools: a crowd gt can match MULTIPLE detections, each becoming
+    ignored — a second overlapping det must not count as FP."""
+    gt = _gt({1: [(10, 10, 30, 40, 1), (60, 60, 30, 30, 1)]})
+    gt.dataset["annotations"][1]["iscrowd"] = 1
+    gt = COCO(gt.dataset)
+    dets = [_det(1, 10, 10, 30, 40, 1, 0.9),    # TP on the regular gt
+            _det(1, 60, 60, 30, 30, 1, 0.95),   # absorbed by crowd
+            _det(1, 62, 62, 26, 26, 1, 0.93)]   # inside crowd: crowd-IoU
+                                                # (inter/dt area) = 1, ALSO
+                                                # absorbed via re-match
+    stats = _run(gt, dets)
+    assert stats[0] == pytest.approx(1.0)       # no FP: precision stays 1
+
+    # sanity: without crowd both extra dets are FPs
+    gt2 = _gt({1: [(10, 10, 30, 40, 1)]})
+    stats2 = _run(gt2, dets)
+    assert stats2[0] < 0.7
+
+
+def test_regular_gt_preferred_over_crowd():
+    """The matching loop prefers a regular gt even when a crowd gt has
+    HIGHER IoU (pycocotools breaks at the ignore boundary only after a
+    regular match exists; crowd gts sort last)."""
+    gt = _gt({1: [(10, 10, 30, 30, 1), (10, 10, 32, 32, 1)]})
+    gt.dataset["annotations"][1]["iscrowd"] = 1
+    gt = COCO(gt.dataset)
+    dets = [_det(1, 10, 10, 32, 32, 1, 0.9)]    # exact crowd, 0.88 regular
+    stats = _run(gt, dets)
+    # matched to the regular gt -> counts as TP at IoU thresholds it passes
+    assert stats[1] == pytest.approx(1.0)       # AP@0.5
+
+
+def test_maxdet_truncation_ar1():
+    """AR@1 keeps only the highest-scored det per image — the lower-scored
+    true positive must be dropped by the [:maxDet] slice in accumulate."""
+    gt = _gt({1: [(10, 10, 30, 40, 1), (60, 60, 20, 20, 1)]})
+    dets = [_det(1, 10, 10, 30, 40, 1, 0.9),
+            _det(1, 60, 60, 20, 20, 1, 0.8)]
+    stats = _run(gt, dets)
+    assert stats[8] == pytest.approx(1.0)       # AR@100: both found
+    assert stats[6] == pytest.approx(0.5)       # AR@1: one det allowed
+
+
+def test_loadres_multiregion_rle_area():
+    """loadRes must set a segm result's area to the MASK area (pycocotools
+    always recomputes; a two-blob mask's area != its bbox area)."""
+    gt = _gt({1: [(10, 10, 10, 10, 1)]})
+    m = np.zeros((100, 100), np.uint8)
+    m[10:20, 10:20] = 1                          # blob A (100 px)
+    m[40:50, 40:50] = 1                          # blob B (100 px)
+    det = {"image_id": 1, "category_id": 1, "score": 0.9,
+           "segmentation": rle.encode(m), "area": 999999.0}  # stale area
+    res = gt.loadRes([det])
+    ann = res.dataset["annotations"][0]
+    assert ann["area"] == pytest.approx(200.0)   # mask area, not 40*40 bbox
+    assert ann["bbox"] == [10.0, 10.0, 40.0, 40.0]
+
+    # bbox results: area always w*h, ignoring any provided value
+    res2 = gt.loadRes([{"image_id": 1, "category_id": 1, "score": 0.9,
+                        "bbox": [10, 10, 10, 10], "area": 5.0}])
+    assert res2.dataset["annotations"][0]["area"] == pytest.approx(100.0)
