@@ -105,15 +105,26 @@ class Trainer:
                                         init_fit, self.frozen, mesh=self.mesh)
         if cfg.pretrained and cfg.model_path:
             # reference loads torch resnet50 weights into the backbone with
-            # a shape-filtered merge (trainer.py:59-69, yolact.py:131-133)
-            from instancesegmentation_tpu.utils.torch_weights import (
-                load_torch_resnet50, merge_backbone_params)
-            bp, bs = load_torch_resnet50(cfg.model_path)
-            new_params, new_stats = merge_backbone_params(
-                self.state.params, bp, self.state.batch_stats, bs)
+            # a shape-filtered merge (trainer.py:59-69, yolact.py:131-133),
+            # or a FULL COCO-pretrained Mask R-CNN dropping the predictor
+            # heads (mask_rcnn.py:202-209). Dispatch on the .pth contents.
+            import torch
+            from instancesegmentation_tpu.utils import torch_weights as tw
+            sd = torch.load(cfg.model_path, map_location="cpu",
+                            weights_only=True)
+            if hasattr(sd, "state_dict"):
+                sd = sd.state_dict()
+            if "backbone.body.conv1.weight" in sd:      # full Mask R-CNN
+                mp, ms = tw.convert_maskrcnn_state_dict(sd)
+                new_params = tw.merge_params(self.state.params, mp)
+                new_stats = tw.merge_params(self.state.batch_stats, ms)
+            else:                                        # backbone-only
+                bp, bs = tw.convert_resnet50_state_dict(sd)
+                new_params, new_stats = tw.merge_backbone_params(
+                    self.state.params, bp, self.state.batch_stats, bs)
             self.state = self.state.replace(params=new_params,
                                             batch_stats=new_stats)
-            log.info("loaded pretrained backbone from %s", cfg.model_path)
+            log.info("loaded pretrained weights from %s", cfg.model_path)
         try:
             # torchinfo-equivalent dump (utils/utils_info.py:6-14)
             from instancesegmentation_tpu.utils.summary import write_info

@@ -73,6 +73,119 @@ def convert_resnet50_state_dict(state_dict: Dict[str, "np.ndarray"]
     return params, stats
 
 
+def _dense(w) -> np.ndarray:
+    """torch Linear (out, in) -> flax Dense kernel (in, out)."""
+    return np.transpose(np.asarray(w, np.float32), (1, 0))
+
+
+def _dense_from_nhwc_flatten(w, c: int, h: int, w_: int) -> np.ndarray:
+    """torch Linear over a CHW-flattened roi feature -> flax Dense over the
+    NHWC flatten (TwoMLPHead flattens (7,7,C); torch flattens (C,7,7)).
+    w: (out, c*h*w) -> kernel (h*w*c, out)."""
+    out = w.shape[0]
+    return (np.asarray(w, np.float32)
+            .reshape(out, c, h, w_).transpose(2, 3, 1, 0)
+            .reshape(h * w_ * c, out))
+
+
+def _deconv(w) -> np.ndarray:
+    """torch ConvTranspose2d weight (in, out, kh, kw) -> flax ConvTranspose
+    kernel (kh, kw, in, out). flax's lax.conv_transpose treats the kernel
+    as a regular conv over the fractionally-strided input, which equals
+    torch's gradient-of-conv semantics with the SPATIALLY FLIPPED kernel."""
+    w = np.asarray(w, np.float32)[:, :, ::-1, ::-1]
+    return np.ascontiguousarray(np.transpose(w, (2, 3, 0, 1)))
+
+
+def convert_maskrcnn_state_dict(state_dict: Dict, num_fc_channels: int = 256,
+                                drop_predictor: bool = True
+                                ) -> Tuple[Dict, Dict]:
+    """torchvision maskrcnn_resnet50_fpn state_dict -> (params, batch_stats)
+    for models.mask_rcnn.model.MaskRCNN.
+
+    Mirrors the reference's COCO-pretrained load (mask_rcnn.py:202-209):
+    box_predictor.* and mask_fcn_logits.* are dropped (num_classes differs
+    from COCO's 91), everything else maps. Callers merge with
+    ``merge_params`` (shape-filtered, like load_state_dict(strict=False)).
+    """
+    sd = {k: np.asarray(v.detach().cpu().numpy() if hasattr(v, "detach")
+                        else v) for k, v in state_dict.items()}
+    body = {k[len("backbone.body."):]: v for k, v in sd.items()
+            if k.startswith("backbone.body.")}
+    params, stats = convert_resnet50_state_dict(body)
+    params = {"backbone": params}
+    stats = {"backbone": stats}
+
+    def conv_entry(src):
+        e = {"kernel": _conv(sd[src + ".weight"])}
+        if src + ".bias" in sd:
+            e["bias"] = sd[src + ".bias"].astype(np.float32)
+        return e
+
+    fpn = {}
+    for i in range(4):
+        # torchvision <=0.12: inner_blocks.{i}.weight; newer wraps in a
+        # Conv2dNormActivation: inner_blocks.{i}.0.weight
+        for fmt in (f"backbone.fpn.inner_blocks.{i}",
+                    f"backbone.fpn.inner_blocks.{i}.0"):
+            if fmt + ".weight" in sd:
+                fpn[f"inner{i}"] = conv_entry(fmt)
+        for fmt in (f"backbone.fpn.layer_blocks.{i}",
+                    f"backbone.fpn.layer_blocks.{i}.0"):
+            if fmt + ".weight" in sd:
+                fpn[f"layer{i}"] = conv_entry(fmt)
+    params["fpn"] = fpn
+
+    params["rpn_head"] = {
+        "conv": conv_entry("rpn.head.conv"),
+        "cls_logits": conv_entry("rpn.head.cls_logits"),
+        "bbox_pred": conv_entry("rpn.head.bbox_pred"),
+    }
+    params["box_head"] = {
+        "fc6": {"kernel": _dense_from_nhwc_flatten(
+                    sd["roi_heads.box_head.fc6.weight"],
+                    num_fc_channels, 7, 7),
+                "bias": sd["roi_heads.box_head.fc6.bias"].astype(np.float32)},
+        "fc7": {"kernel": _dense(sd["roi_heads.box_head.fc7.weight"]),
+                "bias": sd["roi_heads.box_head.fc7.bias"].astype(np.float32)},
+    }
+    mask_head = {}
+    for i in range(1, 5):
+        mask_head[f"mask_fcn{i}"] = conv_entry(
+            f"roi_heads.mask_head.mask_fcn{i}")
+    mask_head["conv5_mask"] = {
+        "kernel": _deconv(sd["roi_heads.mask_predictor.conv5_mask.weight"]),
+        "bias": sd["roi_heads.mask_predictor.conv5_mask.bias"].astype(
+            np.float32)}
+    if not drop_predictor:
+        mask_head["mask_fcn_logits"] = conv_entry(
+            "roi_heads.mask_predictor.mask_fcn_logits")
+        params["box_predictor"] = {
+            "cls_score": {
+                "kernel": _dense(sd["roi_heads.box_predictor.cls_score.weight"]),
+                "bias": sd["roi_heads.box_predictor.cls_score.bias"].astype(
+                    np.float32)},
+            "bbox_pred": {
+                "kernel": _dense(sd["roi_heads.box_predictor.bbox_pred.weight"]),
+                "bias": sd["roi_heads.box_predictor.bbox_pred.bias"].astype(
+                    np.float32)},
+        }
+    params["mask_head"] = mask_head
+    return params, stats
+
+
+def load_torch_maskrcnn(path: str, drop_predictor: bool = True
+                        ) -> Tuple[Dict, Dict]:
+    """Load a torchvision maskrcnn_resnet50_fpn .pth and convert
+    (reference: model_data/weight/maskrcnn_resnet50_fpn_coco.pth,
+    mask_rcnn.py:202-209)."""
+    import torch
+    sd = torch.load(path, map_location="cpu", weights_only=True)
+    if hasattr(sd, "state_dict"):
+        sd = sd.state_dict()
+    return convert_maskrcnn_state_dict(sd, drop_predictor=drop_predictor)
+
+
 def load_torch_resnet50(path: str) -> Tuple[Dict, Dict]:
     """Load a .pth file (torch required) and convert."""
     import torch
@@ -80,6 +193,25 @@ def load_torch_resnet50(path: str) -> Tuple[Dict, Dict]:
     if hasattr(sd, "state_dict"):
         sd = sd.state_dict()
     return convert_resnet50_state_dict(sd)
+
+
+def merge_params(model_tree: Dict, new_tree: Dict) -> Dict:
+    """Top-level shape-filtered merge (load_state_dict(strict=False) with
+    the reference's silent shape-mismatch skip, trainer.py:59-69)."""
+    import jax
+
+    def merge(dst, src):
+        out = dict(dst)
+        for k, v in src.items():
+            if k not in out:
+                continue
+            if isinstance(v, dict):
+                out[k] = merge(out[k], v)
+            elif np.shape(out[k]) == np.shape(v):
+                out[k] = jax.numpy.asarray(v)
+        return out
+
+    return merge(model_tree, new_tree)
 
 
 def merge_backbone_params(model_params: Dict, backbone_params: Dict,

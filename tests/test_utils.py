@@ -111,3 +111,123 @@ def test_model_summary(tmp_path):
                       str(tmp_path))
     text = open(path).read()
     assert "Total params:" in text
+
+
+def test_maskrcnn_weight_conversion():
+    """Full torchvision maskrcnn_resnet50_fpn state_dict -> MaskRCNN tree.
+    The layout-sensitive pieces are verified NUMERICALLY against torch:
+    fc6 consumes a CHW flatten in torch but an HWC flatten here, and
+    flax's ConvTranspose needs the spatially-flipped torch kernel."""
+    import jax
+    import jax.numpy as jnp
+    import torch
+    import torch.nn.functional as F
+    from instancesegmentation_tpu.config import get_config
+    from instancesegmentation_tpu.models import get_model
+    from instancesegmentation_tpu.utils.torch_weights import (
+        _deconv, _dense_from_nhwc_flatten, convert_maskrcnn_state_dict,
+        merge_params)
+
+    rng = np.random.RandomState(1)
+
+    # --- fc6 flatten-order equivalence --------------------------------
+    c, hh, ww, out = 8, 7, 7, 16
+    w = rng.randn(out, c * hh * ww).astype(np.float32) * 0.1
+    x_hwc = rng.randn(hh, ww, c).astype(np.float32)
+    y_torch = F.linear(torch.from_numpy(
+        x_hwc.transpose(2, 0, 1).reshape(-1)), torch.from_numpy(w)).numpy()
+    y_flax = x_hwc.reshape(-1) @ _dense_from_nhwc_flatten(w, c, hh, ww)
+    np.testing.assert_allclose(y_flax, y_torch, rtol=1e-5, atol=1e-5)
+
+    # --- ConvTranspose2d equivalence -----------------------------------
+    import flax.linen as nn
+    cin, cout = 4, 6
+    wt = rng.randn(cin, cout, 2, 2).astype(np.float32) * 0.1
+    x = rng.randn(1, 5, 5, cin).astype(np.float32)
+    y_torch = F.conv_transpose2d(
+        torch.from_numpy(x.transpose(0, 3, 1, 2)), torch.from_numpy(wt),
+        stride=2).numpy().transpose(0, 2, 3, 1)
+    mod = nn.ConvTranspose(cout, (2, 2), strides=(2, 2), use_bias=False)
+    y_flax = mod.apply({"params": {"kernel": jnp.asarray(_deconv(wt))}}, x)
+    np.testing.assert_allclose(np.asarray(y_flax), y_torch,
+                               rtol=1e-4, atol=1e-5)
+
+    # --- full-tree conversion + merge -----------------------------------
+    cfg = get_config("mask_rcnn_base", input_shape=(64, 64),
+                     mixed_precision=False)
+    model = get_model(cfg, train_mode=False)
+    variables = model.init({"params": jax.random.key(0)},
+                           np.zeros((1, 64, 64, 3), np.float32), train=False)
+    p, s = variables["params"], variables["batch_stats"]
+
+    sd = {}
+    def put_conv(src, kernel, bias=True):
+        k = np.asarray(kernel)
+        sd[src + ".weight"] = (rng.randn(
+            k.shape[3], k.shape[2], k.shape[0], k.shape[1]) * 0.03).astype(np.float32)
+        if bias:
+            sd[src + ".bias"] = (rng.randn(k.shape[3]) * 0.03).astype(np.float32)
+    # resnet body (same synthesizer as the roundtrip test)
+    sd["conv1.weight"] = (rng.randn(64, 3, 7, 7) * 0.03).astype(np.float32)
+    for nm in ("weight", "bias", "running_mean", "running_var"):
+        sd[f"bn1.{nm}"] = rng.rand(64).astype(np.float32) + 0.5
+    for li, n in enumerate((3, 4, 6, 3), 1):
+        for bi in range(n):
+            blk = p["backbone"][f"layer{li}_{bi}"]
+            for ci in (1, 2, 3):
+                k = np.asarray(blk[f"conv{ci}"]["kernel"])
+                sd[f"layer{li}.{bi}.conv{ci}.weight"] = (rng.randn(
+                    k.shape[3], k.shape[2], k.shape[0], k.shape[1]) * 0.03).astype(np.float32)
+                for nm in ("weight", "bias", "running_mean", "running_var"):
+                    cdim = np.asarray(blk[f"bn{ci}"]["scale"]).shape
+                    sd[f"layer{li}.{bi}.bn{ci}.{nm}"] = rng.rand(*cdim).astype(np.float32) + 0.5
+            if "down_conv" in blk:
+                k = np.asarray(blk["down_conv"]["kernel"])
+                sd[f"layer{li}.{bi}.downsample.0.weight"] = (rng.randn(
+                    k.shape[3], k.shape[2], k.shape[0], k.shape[1]) * 0.03).astype(np.float32)
+                for nm in ("weight", "bias", "running_mean", "running_var"):
+                    cdim = np.asarray(blk["down_bn"]["scale"]).shape
+                    sd[f"layer{li}.{bi}.downsample.1.{nm}"] = rng.rand(*cdim).astype(np.float32) + 0.5
+    sd = {"backbone.body." + k: v for k, v in sd.items()}
+    # fpn + rpn + heads
+    for i in range(4):
+        put_conv(f"backbone.fpn.inner_blocks.{i}", p["fpn"][f"inner{i}"]["kernel"])
+        put_conv(f"backbone.fpn.layer_blocks.{i}", p["fpn"][f"layer{i}"]["kernel"])
+    put_conv("rpn.head.conv", p["rpn_head"]["conv"]["kernel"])
+    put_conv("rpn.head.cls_logits", p["rpn_head"]["cls_logits"]["kernel"])
+    put_conv("rpn.head.bbox_pred", p["rpn_head"]["bbox_pred"]["kernel"])
+    sd["roi_heads.box_head.fc6.weight"] = rng.randn(1024, 256 * 49).astype(np.float32) * 0.01
+    sd["roi_heads.box_head.fc6.bias"] = rng.randn(1024).astype(np.float32)
+    sd["roi_heads.box_head.fc7.weight"] = rng.randn(1024, 1024).astype(np.float32) * 0.01
+    sd["roi_heads.box_head.fc7.bias"] = rng.randn(1024).astype(np.float32)
+    for i in range(1, 5):
+        put_conv(f"roi_heads.mask_head.mask_fcn{i}",
+                 p["mask_head"][f"mask_fcn{i}"]["kernel"])
+    sd["roi_heads.mask_predictor.conv5_mask.weight"] = rng.randn(256, 256, 2, 2).astype(np.float32) * 0.01
+    sd["roi_heads.mask_predictor.conv5_mask.bias"] = rng.randn(256).astype(np.float32)
+    # COCO-class predictor heads: present in the .pth, dropped on load
+    sd["roi_heads.box_predictor.cls_score.weight"] = rng.randn(91, 1024).astype(np.float32)
+    sd["roi_heads.box_predictor.cls_score.bias"] = rng.randn(91).astype(np.float32)
+    sd["roi_heads.box_predictor.bbox_pred.weight"] = rng.randn(364, 1024).astype(np.float32)
+    sd["roi_heads.box_predictor.bbox_pred.bias"] = rng.randn(364).astype(np.float32)
+    sd["roi_heads.mask_predictor.mask_fcn_logits.weight"] = rng.randn(91, 256, 1, 1).astype(np.float32)
+    sd["roi_heads.mask_predictor.mask_fcn_logits.bias"] = rng.randn(91).astype(np.float32)
+
+    cp, cs = convert_maskrcnn_state_dict(sd)
+    new_p = merge_params(p, cp)
+    new_s = merge_params(s, cs)
+
+    # every converted leaf replaced; predictor heads untouched
+    np.testing.assert_allclose(
+        np.asarray(new_p["fpn"]["inner2"]["kernel"]),
+        np.transpose(sd["backbone.fpn.inner_blocks.2.weight"], (2, 3, 1, 0)))
+    np.testing.assert_allclose(np.asarray(new_p["box_head"]["fc7"]["kernel"]),
+                               sd["roi_heads.box_head.fc7.weight"].T)
+    np.testing.assert_array_equal(
+        np.asarray(new_p["box_predictor"]["cls_score"]["kernel"]),
+        np.asarray(p["box_predictor"]["cls_score"]["kernel"]))
+    # model applies finitely with merged weights
+    out = model.apply({"params": new_p, "batch_stats": new_s},
+                      np.ones((1, 64, 64, 3), np.float32), train=False)
+    assert all(np.all(np.isfinite(np.asarray(x)))
+               for x in jax.tree_util.tree_leaves(out))
