@@ -30,6 +30,10 @@ def main(argv=None):
     p.add_argument("--checkpoint", type=str, default=None,
                    help="orbax state dir (default <out>/ckpt/best_epoch_weights)")
     p.add_argument("--max_images", type=int, default=None)
+    p.add_argument("--split", type=str, default="val", choices=("val", "train"),
+                   help="which split to score; 'train' is the overfit/"
+                        "memorization probe (not part of the reference "
+                        "protocol, which always scores val)")
     args = p.parse_args(argv)
 
     from instancesegmentation_tpu.config import get_config
@@ -47,7 +51,11 @@ def main(argv=None):
     ann = (synthetic_annotation(cfg.data_root) if cfg.exp_name == "shape"
            else get_annotation(cfg.exp_name, cfg.data_root,
                                list(cfg.class_names)))
-    val_ds = SegDataset(ann.val_image_path, ann.val_coco, ann.label_map)
+    if args.split == "train":
+        val_ds = SegDataset(ann.train_image_path, ann.train_coco,
+                            ann.label_map)
+    else:
+        val_ds = SegDataset(ann.val_image_path, ann.val_coco, ann.label_map)
 
     predictor = None
     if args.map_mode in (0, 1):

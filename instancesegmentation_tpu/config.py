@@ -31,6 +31,9 @@ class Config:
     input_shape: Tuple[int, int] = (544, 544)
     max_instances: int = 64                # static pad (reference: ragged)
     num_workers: int = 4
+    augment: bool = True                   # train-time Augmentation pipeline;
+                                           # False = BaseTransform (resize
+                                           # only) — diagnosis/memorization
 
     # model
     pretrained: bool = False
@@ -46,10 +49,24 @@ class Config:
     # its live default is nn.BatchNorm2d).
     trainable_layers: int = 3
     frozen_bn: bool = False
+    # RoIAlign grid semantics: False = torchvision 0.4 (aligned=False),
+    # the reference's pinned behavior, which carries a systematic ~0.5-px
+    # feature-grid offset; True = half-pixel-corrected grid (later
+    # torchvision / Detectron2 aligned=True). Applies to box/mask feature
+    # pooling AND the 28^2 gt-mask projection.
+    roi_align_aligned: bool = False
 
     # aspect-ratio grouped batching (configs/mask_rcnn_base.py:41,
     # models/init_model.py:98-125); -1 disables, k>=0 -> 2k+1 ratio bins
     aspect_ratio_group_factor: int = -1
+
+    # resolution buckets (Mask R-CNN only): the static-shape analogue of
+    # the reference's min800/max1333 dynamic resize + stride-32 pad
+    # (transform.py:256-386). Each train image resizes aspect-preserving
+    # into its nearest-ratio bucket and pads; one compiled step per bucket
+    # shape. Empty tuple = single fixed square (input_shape). Dims should
+    # be multiples of 64 (P2..P6 strides).
+    resolution_buckets: Tuple[Tuple[int, int], ...] = ()
 
     # two-phase schedule (configs/yolact_base.py:75-83)
     init_epoch: int = 0

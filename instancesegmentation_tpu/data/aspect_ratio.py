@@ -82,3 +82,39 @@ class GroupedBatchSampler:
                 buf.append(pool[len(buf) % len(pool)])
             batches.append(buf)
         return batches[:target]
+
+
+def assign_resolution_buckets(dataset,
+                              buckets: Sequence[Sequence[int]]) -> List[int]:
+    """Bucket index per sample: nearest bucket by |log aspect ratio|.
+
+    The bucket list is the static-shape analogue of the reference's
+    min800/max1333 dynamic resize (transform.py:256-386): each image maps
+    to the bucket whose H/W ratio best matches, minimizing pad waste."""
+    ratios = compute_aspect_ratios(dataset)                     # w/h
+    bucket_ratios = np.log([b[1] / b[0] for b in buckets])      # w/h per bucket
+    idx = [int(np.argmin(np.abs(np.log(r) - bucket_ratios))) for r in ratios]
+    counts = np.bincount(idx, minlength=len(buckets))
+    print(f"Resolution buckets {list(map(tuple, buckets))}: "
+          f"counts per bucket {list(counts)}")
+    return idx
+
+
+class BucketBatchSampler(GroupedBatchSampler):
+    """GroupedBatchSampler whose groups are resolution buckets; every
+    yielded batch carries its bucket's (H, W) so the loader can resize+pad
+    each sample to the batch's static shape (one compiled step per bucket)."""
+
+    def __init__(self, dataset, buckets: Sequence[Sequence[int]],
+                 batch_size: int, seed: int = 704):
+        self.buckets = [tuple(int(x) for x in b) for b in buckets]
+        group_ids = assign_resolution_buckets(dataset, self.buckets)
+        super().__init__(group_ids, batch_size, seed=seed)
+
+    def epoch(self, epoch: int = 0):
+        batches = super().epoch(epoch)
+        out = []
+        for batch in batches:
+            hw = self.buckets[self.group_ids[batch[0]]]
+            out.append((hw, batch))
+        return out

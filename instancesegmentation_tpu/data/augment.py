@@ -168,15 +168,39 @@ def resize(image, masks, boxes_abs, out_hw: Tuple[int, int]):
     return image, masks, boxes
 
 
+def resize_keep_aspect(image, masks, boxes_abs, out_hw: Tuple[int, int],
+                       fill=128):
+    """Aspect-preserving fit into ``out_hw`` + gray top-left pad.
+
+    The bucketed analogue of GeneralizedRCNNTransform's min800/max1333
+    resize-then-pad (reference transform.py:256-386): scale so the image
+    fits inside the bucket, pad the remainder. Boxes stay in PADDED-image
+    absolute coords (normalization by out_hw happens in the caller)."""
+    ih, iw = image.shape[:2]
+    oh, ow = out_hw
+    s = min(oh / ih, ow / iw)
+    nh, nw = max(1, int(round(ih * s))), max(1, int(round(iw * s)))
+    image, masks, boxes = resize(image, masks, boxes_abs, (nh, nw))
+    image, masks = pad_to(image, masks, out_hw, fill=fill)
+    return image, masks, boxes
+
+
 class Augmentation:
     """Train-time pipeline; call with normalized boxes, returns normalized
-    boxes and the UN-normalized (0-255 RGB float) image."""
+    boxes and the UN-normalized (0-255 RGB float) image.
 
-    def __init__(self, input_shape: Tuple[int, int]):
+    ``keep_aspect=True`` switches the final square-stretch resize to the
+    aspect-preserving fit+pad used by resolution-bucketed training; the
+    per-call ``out_hw`` overrides the constructor shape (one value per
+    bucket)."""
+
+    def __init__(self, input_shape: Tuple[int, int], keep_aspect: bool = False):
         self.input_shape = tuple(input_shape)
+        self.keep_aspect = keep_aspect
 
     def __call__(self, image, masks, boxes_norm, labels, is_crowd,
-                 rng: np.random.Generator):
+                 rng: np.random.Generator,
+                 out_hw: Optional[Tuple[int, int]] = None):
         h, w = image.shape[:2]
         img = image.astype(np.float32)
         boxes = boxes_norm * np.array([w, h, w, h], np.float32)
@@ -186,7 +210,11 @@ class Augmentation:
         img, masks, boxes, labels, is_crowd = random_sample_crop(
             img, masks, boxes, labels, is_crowd, rng)
         img, masks, boxes = random_mirror(img, masks, boxes, rng)
-        img, masks, boxes = resize(img, masks, boxes, self.input_shape)
+        target = tuple(out_hw) if out_hw is not None else self.input_shape
+        if self.keep_aspect:
+            img, masks, boxes = resize_keep_aspect(img, masks, boxes, target)
+        else:
+            img, masks, boxes = resize(img, masks, boxes, target)
 
         hh, ww = img.shape[:2]
         boxes = boxes / np.array([ww, hh, ww, hh], np.float32)
@@ -213,15 +241,18 @@ def resize_scale(image, masks, boxes_abs, scale: float = 0.8):
 class BaseTransform:
     """Val/eval pipeline: resize only (transform.py:411-429)."""
 
-    def __init__(self, input_shape: Tuple[int, int]):
+    def __init__(self, input_shape: Tuple[int, int], keep_aspect: bool = False):
         self.input_shape = tuple(input_shape)
+        self.keep_aspect = keep_aspect
 
     def __call__(self, image, masks, boxes_norm, labels, is_crowd,
-                 rng: Optional[np.random.Generator] = None):
+                 rng: Optional[np.random.Generator] = None,
+                 out_hw: Optional[Tuple[int, int]] = None):
         h, w = image.shape[:2]
         boxes = boxes_norm * np.array([w, h, w, h], np.float32)
-        img, masks, boxes = resize(image.astype(np.float32), masks, boxes,
-                                   self.input_shape)
+        target = tuple(out_hw) if out_hw is not None else self.input_shape
+        fn = resize_keep_aspect if self.keep_aspect else resize
+        img, masks, boxes = fn(image.astype(np.float32), masks, boxes, target)
         hh, ww = img.shape[:2]
         boxes = boxes / np.array([ww, hh, ww, hh], np.float32)
         return img, masks, boxes, labels, is_crowd

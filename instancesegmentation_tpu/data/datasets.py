@@ -130,12 +130,14 @@ class SegDataset:
             "image_id": image_id,
         }
 
-    def get_item(self, index: int, rng: np.random.Generator):
+    def get_item(self, index: int, rng: np.random.Generator, out_hw=None):
+        """``out_hw``: optional (H, W) target for this sample, used by the
+        resolution-bucket sampler to override the transform's default."""
         s = self.raw_item(index)
         if self.transform is not None:
             img, masks, boxes, labels, is_crowd = self.transform(
                 s["image"], s["masks"], s["boxes"], s["labels"],
-                s["is_crowd"], rng)
+                s["is_crowd"], rng, out_hw=out_hw)
             s.update(image=img, masks=masks.astype(np.uint8), boxes=boxes,
                      labels=labels, is_crowd=is_crowd)
         return s

@@ -148,11 +148,15 @@ class Loader:
                        for i in range(nb)]
 
         def make_batch(bi: int):
+            entry = batches[bi]
+            # bucket samplers yield (out_hw, indices); plain ones a list
+            out_hw, idxs = entry if isinstance(entry, tuple) else (None, entry)
             samples = []
-            for j, di in enumerate(batches[bi]):
+            for j, di in enumerate(idxs):
                 rng = np.random.default_rng(
                     (self.seed * 1_000_003 + epoch * 7919 + int(di)) % (2**63))
-                samples.append(self.dataset.get_item(int(di), rng))
+                samples.append(self.dataset.get_item(int(di), rng,
+                                                     out_hw=out_hw))
             return self.collate(samples)
 
         if self.num_workers <= 1:

@@ -25,7 +25,7 @@ Deviations (documented):
 
 from __future__ import annotations
 
-from functools import partial
+from functools import lru_cache, partial
 from typing import Dict, Tuple
 
 import jax
@@ -48,7 +48,8 @@ MASK_ROIS_PER_IMAGE = 128     # = 512 * positive_fraction 0.25
 ROI_SCALES = (0.25, 0.125, 0.0625, 0.03125)   # P2..P5
 
 
-def multiscale_roi_align(feats, rois, out_size, spatial_scales):
+def multiscale_roi_align(feats, rois, out_size, spatial_scales,
+                         aligned=False):
     """MultiScaleRoIAlign dispatch: the Pallas kernel (custom VJP) on TPU,
     the jnp separable-matmul form elsewhere (CPU tests, interpret golden).
     Both are exactly-equal implementations of torchvision roi_align."""
@@ -56,29 +57,42 @@ def multiscale_roi_align(feats, rois, out_size, spatial_scales):
         from instancesegmentation_tpu.ops.pallas.roi_align import \
             multiscale_roi_align_pallas
         return multiscale_roi_align_pallas(feats, rois, out_size,
-                                           spatial_scales)
+                                           spatial_scales, aligned=aligned)
     return multiscale_roi_align_separable(feats, rois, out_size,
-                                          spatial_scales)
+                                          spatial_scales, aligned=aligned)
+
+
+@lru_cache(maxsize=None)
+def _geometry_np(input_shape):
+    fs = fpn_feature_sizes(tuple(input_shape))
+    anchors = rcnn_grid_anchors(fs, tuple(input_shape))
+    level_sizes = rcnn_level_sizes(fs)
+    return anchors, level_sizes
 
 
 def _geometry(input_shape):
-    fs = fpn_feature_sizes(tuple(input_shape))
-    anchors = jnp.asarray(rcnn_grid_anchors(fs, tuple(input_shape)))
-    level_sizes = rcnn_level_sizes(fs)
-    return anchors, level_sizes
+    anchors, level_sizes = _geometry_np(tuple(int(s) for s in input_shape))
+    return jnp.asarray(anchors), level_sizes
 
 
 def make_mask_rcnn_train_fns(model, cfg, train: bool = True):
     """Returns loss_fn(params, batch_stats, batch, rng) ->
     (total, (loss_dict, new_stats)) for use inside a train step.
-    ``train=False`` freezes BN stats (val-loss pass)."""
-    anchors, level_sizes = _geometry(cfg.input_shape)
-    image_hw = tuple(cfg.input_shape)
+    ``train=False`` freezes BN stats (val-loss pass).
+
+    Anchors/level geometry derive from the BATCH's static shape at trace
+    time (not cfg.input_shape), so the same step function serves every
+    resolution bucket (cfg.resolution_buckets) — jit retraces once per
+    bucket shape, the torchvision-transform analogue of min800/max1333
+    packing (transform.py:256-386) under XLA's static-shape rules."""
+    aligned = bool(getattr(cfg, "roi_align_aligned", False))
 
     def loss_fn(params, batch_stats, batch, rng):
         variables = {"params": params, "batch_stats": batch_stats}
         images = batch["image"]
         b = images.shape[0]
+        image_hw = tuple(int(s) for s in images.shape[1:3])
+        anchors, level_sizes = _geometry(image_hw)
 
         feats, mutated = model.apply(
             variables, images, train, method="backbone_fpn",
@@ -117,7 +131,7 @@ def make_mask_rcnn_train_fns(model, cfg, train: bool = True):
         # ---- box head ---------------------------------------------------
         def align_one(f2, f3, f4, f5, rois):
             return multiscale_roi_align((f2, f3, f4, f5), rois, (7, 7),
-                                        ROI_SCALES)
+                                        ROI_SCALES, aligned=aligned)
         box_feats = jax.vmap(align_one)(feats[0], feats[1], feats[2],
                                         feats[3], sampled.rois)  # (B,S,7,7,C)
         s = box_feats.shape[1]
@@ -147,7 +161,7 @@ def make_mask_rcnn_train_fns(model, cfg, train: bool = True):
 
         def align14(f2, f3, f4, f5, rois):
             return multiscale_roi_align((f2, f3, f4, f5), rois, (14, 14),
-                                        ROI_SCALES)
+                                        ROI_SCALES, aligned=aligned)
         mask_feats = jax.vmap(align14)(feats[0], feats[1], feats[2],
                                        feats[3], m_rois)
         mm = mask_feats.shape[1]
@@ -155,7 +169,7 @@ def make_mask_rcnn_train_fns(model, cfg, train: bool = True):
             variables, mask_feats.reshape(b * mm, 14, 14, -1),
             method="mask_forward").reshape(b, mm, 28, 28, -1)
 
-        mask_l = jax.vmap(R.maskrcnn_loss)(
+        mask_l = jax.vmap(partial(R.maskrcnn_loss, aligned=aligned))(
             mask_logits, m_rois, m_labels, m_gt, m_valid,
             batch["masks"].astype(jnp.float32))
         loss_mask = jnp.mean(mask_l)
@@ -174,12 +188,15 @@ def make_mask_rcnn_train_fns(model, cfg, train: bool = True):
 def make_mask_rcnn_infer_fn(model, cfg, max_det: int = 100,
                             score_thresh: float = R.SCORE_THRESH,
                             nms_thresh: float = R.NMS_THRESH):
-    """variables, images -> per-image Detections + mask probs (28^2)."""
-    anchors, level_sizes = _geometry(cfg.input_shape)
-    image_hw = tuple(cfg.input_shape)
+    """variables, images -> per-image Detections + mask probs (28^2).
+
+    Geometry follows the images' static shape (see make_mask_rcnn_train_fns)."""
+    aligned = bool(getattr(cfg, "roi_align_aligned", False))
 
     def infer(variables, images):
         b = images.shape[0]
+        image_hw = tuple(int(s) for s in images.shape[1:3])
+        anchors, level_sizes = _geometry(image_hw)
         feats = model.apply(variables, images, False, method="backbone_fpn")
         objectness, deltas = model.apply(variables, feats, method="rpn")
 
@@ -192,7 +209,7 @@ def make_mask_rcnn_infer_fn(model, cfg, max_det: int = 100,
 
         def align7(f2, f3, f4, f5, rois):
             return multiscale_roi_align((f2, f3, f4, f5), rois, (7, 7),
-                                        ROI_SCALES)
+                                        ROI_SCALES, aligned=aligned)
         box_feats = jax.vmap(align7)(feats[0], feats[1], feats[2], feats[3],
                                      props.boxes)
         s = box_feats.shape[1]
@@ -209,7 +226,7 @@ def make_mask_rcnn_infer_fn(model, cfg, max_det: int = 100,
 
         def align14(f2, f3, f4, f5, rois):
             return multiscale_roi_align((f2, f3, f4, f5), rois, (14, 14),
-                                        ROI_SCALES)
+                                        ROI_SCALES, aligned=aligned)
         mask_feats = jax.vmap(align14)(feats[0], feats[1], feats[2], feats[3],
                                        dets.boxes)
         mask_logits = model.apply(

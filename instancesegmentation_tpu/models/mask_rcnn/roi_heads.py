@@ -110,7 +110,8 @@ def fastrcnn_loss(class_logits: jnp.ndarray, box_deltas: jnp.ndarray,
 
 def maskrcnn_loss(mask_logits: jnp.ndarray, mask_rois: jnp.ndarray,
                   roi_labels: jnp.ndarray, roi_gt_idx: jnp.ndarray,
-                  roi_valid: jnp.ndarray, gt_masks: jnp.ndarray) -> jnp.ndarray:
+                  roi_valid: jnp.ndarray, gt_masks: jnp.ndarray,
+                  aligned: bool = False) -> jnp.ndarray:
     """mask_logits (M, 28, 28, K); mask_rois (M,4) px; gt_masks (G, H, W)
     uint8 at image resolution (roi_head.py:94-146)."""
     m, oh, ow, _ = mask_logits.shape
@@ -119,7 +120,7 @@ def maskrcnn_loss(mask_logits: jnp.ndarray, mask_rois: jnp.ndarray,
     def project(roi, gi):
         return ra.roi_align_separable(
             gt_masks[gi].astype(jnp.float32)[:, :, None],
-            roi[None], (oh, ow), 1.0, 2)[0, :, :, 0]
+            roi[None], (oh, ow), 1.0, 2, aligned=aligned)[0, :, :, 0]
     targets = jax.vmap(project)(mask_rois, roi_gt_idx)     # (M, 28, 28)
 
     picked = jnp.take_along_axis(

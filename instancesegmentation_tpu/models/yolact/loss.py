@@ -8,7 +8,9 @@ every constant: bbox x1.5, mask x6.125, OHEM neg:pos 3:1, mask-positive cap
 TPU-native re-design:
 * anchor matching is `vmap(match_yolact)` over a padded batch
   (replaces the batch loop :140-166),
-* OHEM ranks negatives with one batched double-argsort (:223-233),
+* OHEM mines negatives with one values-only sort + cutoff compare
+  (replaces the double argsort :223-233; boundary-tie semantics differ,
+  measure-zero for float logits),
 * the lincomb mask loss samples <=100 positives per image with
   random-priority top_k (replaces randperm :300-305) and evaluates
   proto @ coef^T as one einsum per image on the MXU,
@@ -52,10 +54,18 @@ def _ohem_conf_loss(pred_classes, conf, pos, negpos_ratio):
     mark = jax.nn.logsumexp(pred_classes, axis=-1) - pred_classes[..., 0]
     mark = jnp.where(pos | (conf < 0), 0.0, mark)
 
-    ranks = L.rank_desc_2d(mark)                           # (B, A)
+    # Mining cutoff via ONE values-only sort: the (num_neg+1)-th largest
+    # mark is the first excluded value, so strictly-greater marks are the
+    # mined set. Equals the reference's rank<num_neg double argsort
+    # (yolact_training.py:223-233) except exact ties at the boundary
+    # (measure-zero for float logits); a sort of values is ~2x cheaper on
+    # TPU than argsort+scatter over (B, 18525).
     num_pos = jnp.sum(pos, axis=1, keepdims=True)          # (B, 1)
     num_neg = jnp.minimum(negpos_ratio * num_pos, a - 1)
-    neg = (ranks < num_neg) & ~pos & (conf >= 0)
+    sorted_desc = jnp.sort(mark, axis=1)[:, ::-1]          # (B, A)
+    cutoff = jnp.take_along_axis(sorted_desc, num_neg.astype(jnp.int32),
+                                 axis=1)                   # (B, 1)
+    neg = (mark > cutoff) & ~pos & (conf >= 0)
 
     ce = L.softmax_cross_entropy(pred_classes, jnp.maximum(conf, 0))
     return L.masked_sum(ce, pos | neg)

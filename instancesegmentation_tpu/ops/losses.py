@@ -44,17 +44,3 @@ def bce_with_logits(logits: jnp.ndarray, targets: jnp.ndarray) -> jnp.ndarray:
 
 def masked_sum(x: jnp.ndarray, mask: jnp.ndarray) -> jnp.ndarray:
     return jnp.sum(jnp.where(mask, x, 0.0))
-
-
-def rank_desc_2d(x: jnp.ndarray) -> jnp.ndarray:
-    """rank[i] = position of x[i] in a descending stable sort along axis 1.
-
-    The double-argsort idiom the reference uses for OHEM negative mining
-    (yolact_training.py:223-224); ties break by position like torch.sort.
-    """
-    b, n = x.shape
-    idx = jnp.argsort(-x, axis=1, stable=True)           # (B, N) sorted->orig
-    rows = jnp.arange(b)[:, None]
-    ranks = jnp.zeros((b, n), jnp.int32).at[rows, idx].set(
-        jnp.broadcast_to(jnp.arange(n, dtype=jnp.int32), (b, n)))
-    return ranks

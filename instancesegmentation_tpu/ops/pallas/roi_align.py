@@ -37,7 +37,7 @@ from jax.experimental.pallas import tpu as pltpu
 
 def _kernel(rois_ref, feat_ref, out_ref, *, oh: int, ow: int, h: int, w: int,
             c: int, spatial_scale: float, sampling_ratio: int,
-            roi_block: int):
+            roi_block: int, aligned: bool):
     """Grid: (num_roi_blocks,). rois_ref (roi_block, 4) SMEM;
     feat_ref (H, W*C) bf16 VMEM (same block every step);
     out (roi_block, oh*ow, C) f32."""
@@ -63,13 +63,16 @@ def _kernel(rois_ref, feat_ref, out_ref, *, oh: int, ow: int, h: int, w: int,
         # fold the bin average: sum the s sample rows per bin / s
         return jnp.mean(m.reshape(out_bins, s, size), axis=1)
 
+    shift = 0.5 if aligned else 0.0
     for r in range(roi_block):                               # unrolled
-        x1 = rois_ref[r, 0] * spatial_scale
-        y1 = rois_ref[r, 1] * spatial_scale
-        x2 = rois_ref[r, 2] * spatial_scale
-        y2 = rois_ref[r, 3] * spatial_scale
-        roi_w = jnp.maximum(x2 - x1, 1.0)
-        roi_h = jnp.maximum(y2 - y1, 1.0)
+        x1 = rois_ref[r, 0] * spatial_scale - shift
+        y1 = rois_ref[r, 1] * spatial_scale - shift
+        x2 = rois_ref[r, 2] * spatial_scale - shift
+        y2 = rois_ref[r, 3] * spatial_scale - shift
+        roi_w, roi_h = x2 - x1, y2 - y1
+        if not aligned:
+            roi_w = jnp.maximum(roi_w, 1.0)
+            roi_h = jnp.maximum(roi_h, 1.0)
 
         by = interp_matrix(y1, roi_h / oh, h, oh)            # (oh, H)
         bx = interp_matrix(x1, roi_w / ow, w, ow)            # (ow, W)
@@ -86,7 +89,8 @@ def _kernel(rois_ref, feat_ref, out_ref, *, oh: int, ow: int, h: int, w: int,
 def roi_align_pallas(feat: jnp.ndarray, rois: jnp.ndarray,
                      out_size: Tuple[int, int], spatial_scale: float,
                      sampling_ratio: int = 2, roi_block: int = 8,
-                     interpret: bool = False) -> jnp.ndarray:
+                     interpret: bool = False,
+                     aligned: bool = False) -> jnp.ndarray:
     """feat (H, W, C); rois (R, 4) image-coord xyxy -> (R, oh, ow, C)."""
     oh, ow = out_size
     r = rois.shape[0]
@@ -98,7 +102,7 @@ def roi_align_pallas(feat: jnp.ndarray, rois: jnp.ndarray,
     kernel = functools.partial(_kernel, oh=oh, ow=ow, h=h, w=w, c=c,
                                spatial_scale=spatial_scale,
                                sampling_ratio=sampling_ratio,
-                               roi_block=roi_block)
+                               roi_block=roi_block, aligned=aligned)
     out = pl.pallas_call(
         kernel,
         grid=(n_blocks,),
@@ -121,27 +125,29 @@ def roi_align_pallas(feat: jnp.ndarray, rois: jnp.ndarray,
 # Differentiable wrapper (custom VJP) + multiscale dispatch
 # ---------------------------------------------------------------------------
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4, 5))
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4, 5, 6))
 def roi_align_tpu(feat: jnp.ndarray, rois: jnp.ndarray,
                   out_size: Tuple[int, int], spatial_scale: float,
-                  sampling_ratio: int = 2, interpret: bool = False
-                  ) -> jnp.ndarray:
+                  sampling_ratio: int = 2, interpret: bool = False,
+                  aligned: bool = False) -> jnp.ndarray:
     """Pallas roi_align with an analytic feature-gradient VJP."""
     return roi_align_pallas(feat, rois, out_size, spatial_scale,
-                            sampling_ratio, interpret=interpret)
+                            sampling_ratio, interpret=interpret,
+                            aligned=aligned)
 
 
 def _roi_align_fwd(feat, rois, out_size, spatial_scale, sampling_ratio,
-                   interpret):
+                   interpret, aligned):
     out = roi_align_pallas(feat, rois, out_size, spatial_scale,
-                           sampling_ratio, interpret=interpret)
+                           sampling_ratio, interpret=interpret,
+                           aligned=aligned)
     # zero-size marker carries feat's (H, W) and dtype statically
     marker = jnp.zeros(feat.shape[:2] + (0,), feat.dtype)
     return out, (rois, marker)
 
 
 def _roi_align_bwd(out_size, spatial_scale, sampling_ratio, interpret,
-                   residual, g):
+                   aligned, residual, g):
     """dF[h,w,c] = sum_r By_r[y,h] * Bx_r[x,w] * g_r[y,x,c] — the exact
     transpose of the separable forward; two matmuls on the MXU."""
     from instancesegmentation_tpu.ops.roi_align import _interp_pool_matrix
@@ -149,10 +155,12 @@ def _roi_align_bwd(out_size, spatial_scale, sampling_ratio, interpret,
     rois, marker = residual
     h, w, _ = marker.shape
     oh, ow = out_size
-    roi = rois.astype(jnp.float32) * spatial_scale
+    roi = rois.astype(jnp.float32) * spatial_scale - (0.5 if aligned else 0.0)
     x1, y1 = roi[:, 0], roi[:, 1]
-    roi_w = jnp.maximum(roi[:, 2] - roi[:, 0], 1.0)
-    roi_h = jnp.maximum(roi[:, 3] - roi[:, 1], 1.0)
+    roi_w, roi_h = roi[:, 2] - roi[:, 0], roi[:, 3] - roi[:, 1]
+    if not aligned:
+        roi_w = jnp.maximum(roi_w, 1.0)
+        roi_h = jnp.maximum(roi_h, 1.0)
     by = _interp_pool_matrix(y1, roi_h / oh, h, oh,
                              sampling_ratio, jnp.float32)        # (R, oh, H)
     bx = _interp_pool_matrix(x1, roi_w / ow, w, ow,
@@ -173,7 +181,8 @@ def multiscale_roi_align_pallas(feats: Sequence[jnp.ndarray],
                                 out_size: Tuple[int, int],
                                 spatial_scales: Sequence[float],
                                 sampling_ratio: int = 2,
-                                interpret: bool = False) -> jnp.ndarray:
+                                interpret: bool = False,
+                                aligned: bool = False) -> jnp.ndarray:
     """MultiScaleRoIAlign on the Pallas kernel (train + infer hot path).
 
     Same branch-free structure as multiscale_roi_align_separable: every
@@ -186,7 +195,8 @@ def multiscale_roi_align_pallas(feats: Sequence[jnp.ndarray],
     sel = jax.nn.one_hot(levels, len(feats), dtype=jnp.float32)   # (R, L)
     out = None
     for li, (f, sc) in enumerate(zip(feats, spatial_scales)):
-        o = roi_align_tpu(f, rois, out_size, sc, sampling_ratio, interpret)
+        o = roi_align_tpu(f, rois, out_size, sc, sampling_ratio, interpret,
+                          aligned)
         o = o * sel[:, li][:, None, None, None].astype(o.dtype)
         out = o if out is None else out + o
     return out

@@ -7,8 +7,11 @@ this "the single most important custom kernel").
 
 This module provides the pure-jnp gather formulation (differentiable,
 works everywhere, the golden reference for the Pallas kernel in
-ops/pallas/roi_align.py). Semantics follow torchvision roi_align with
-``aligned=False`` (the torchvision 0.4 behavior the reference pins):
+ops/pallas/roi_align.py). Default semantics follow torchvision roi_align
+with ``aligned=False`` (the torchvision 0.4 behavior the reference pins);
+``aligned=True`` opts into the half-pixel-corrected grid (coords shifted
+by -0.5, no min-1 roi clamp) of later torchvision / Detectron2 — measured
+to remove the reference's systematic sub-pixel box bias (BASELINE.md):
 
   bin grid over [x1*scale, x2*scale] x [y1*scale, y2*scale], sampling_ratio
   points per bin side (default 2, or ceil(roi_size/out_size) when -1),
@@ -55,14 +58,17 @@ def _bilinear_gather(feat: jnp.ndarray, ys: jnp.ndarray, xs: jnp.ndarray
 
 
 def roi_align(feat: jnp.ndarray, rois: jnp.ndarray, out_size: Tuple[int, int],
-              spatial_scale: float, sampling_ratio: int = 2) -> jnp.ndarray:
+              spatial_scale: float, sampling_ratio: int = 2,
+              aligned: bool = False) -> jnp.ndarray:
     """feat (H, W, C); rois (R, 4) xyxy in IMAGE coords -> (R, oh, ow, C)."""
     oh, ow = out_size
     s = sampling_ratio
-    roi = rois * spatial_scale
+    roi = rois * spatial_scale - (0.5 if aligned else 0.0)
     x1, y1, x2, y2 = roi[:, 0], roi[:, 1], roi[:, 2], roi[:, 3]
-    roi_w = jnp.maximum(x2 - x1, 1.0)            # torchvision min size 1
-    roi_h = jnp.maximum(y2 - y1, 1.0)
+    roi_w, roi_h = x2 - x1, y2 - y1
+    if not aligned:                               # torchvision min size 1
+        roi_w = jnp.maximum(roi_w, 1.0)
+        roi_h = jnp.maximum(roi_h, 1.0)
     bin_w = roi_w / ow                            # (R,)
     bin_h = roi_h / oh
 
@@ -117,7 +123,8 @@ def _interp_pool_matrix(starts: jnp.ndarray, bins: jnp.ndarray, size: int,
 
 def roi_align_separable(feat: jnp.ndarray, rois: jnp.ndarray,
                         out_size: Tuple[int, int], spatial_scale: float,
-                        sampling_ratio: int = 2) -> jnp.ndarray:
+                        sampling_ratio: int = 2,
+                        aligned: bool = False) -> jnp.ndarray:
     """MXU formulation of roi_align (exactly equal to ``roi_align``).
 
     feat (H, W, C); rois (R, 4) image-coord xyxy -> (R, oh, ow, C).
@@ -128,10 +135,12 @@ def roi_align_separable(feat: jnp.ndarray, rois: jnp.ndarray,
     """
     oh, ow = out_size
     dtype = feat.dtype
-    roi = rois.astype(jnp.float32) * spatial_scale
+    roi = rois.astype(jnp.float32) * spatial_scale - (0.5 if aligned else 0.0)
     x1, y1 = roi[:, 0], roi[:, 1]
-    roi_w = jnp.maximum(roi[:, 2] - roi[:, 0], 1.0)
-    roi_h = jnp.maximum(roi[:, 3] - roi[:, 1], 1.0)
+    roi_w, roi_h = roi[:, 2] - roi[:, 0], roi[:, 3] - roi[:, 1]
+    if not aligned:
+        roi_w = jnp.maximum(roi_w, 1.0)
+        roi_h = jnp.maximum(roi_h, 1.0)
 
     by = _interp_pool_matrix(y1, roi_h / oh, feat.shape[0], oh,
                              sampling_ratio, jnp.float32)           # (R,oh,H)
@@ -149,7 +158,8 @@ def multiscale_roi_align_separable(feats: Sequence[jnp.ndarray],
                                    rois: jnp.ndarray,
                                    out_size: Tuple[int, int],
                                    spatial_scales: Sequence[float],
-                                   sampling_ratio: int = 2) -> jnp.ndarray:
+                                   sampling_ratio: int = 2,
+                                   aligned: bool = False) -> jnp.ndarray:
     """MultiScaleRoIAlign via the separable-matmul kernel.
 
     Computes every level and selects per-roi by the canonical assignment;
@@ -160,7 +170,8 @@ def multiscale_roi_align_separable(feats: Sequence[jnp.ndarray],
     sel = jax.nn.one_hot(levels, len(feats), dtype=jnp.float32)     # (R, L)
     out = None
     for li, (f, sc) in enumerate(zip(feats, spatial_scales)):
-        o = roi_align_separable(f, rois, out_size, sc, sampling_ratio)
+        o = roi_align_separable(f, rois, out_size, sc, sampling_ratio,
+                                aligned=aligned)
         o = o * sel[:, li][:, None, None, None].astype(o.dtype)
         out = o if out is None else out + o
     return out

@@ -73,9 +73,14 @@ class Trainer:
         else:
             self.ann = get_annotation(cfg.exp_name, cfg.data_root,
                                       list(cfg.class_names))
-        self.train_ds = SegDataset(self.ann.train_image_path,
-                                   self.ann.train_coco, self.ann.label_map,
-                                   transform=Augmentation(cfg.input_shape))
+        if cfg.resolution_buckets and cfg.net != "mask_rcnn":
+            raise ValueError("resolution_buckets requires net='mask_rcnn' "
+                             "(YOLACT anchors/proto are input-shape bound)")
+        train_tf = (Augmentation if cfg.augment else BaseTransform)(
+            cfg.input_shape, keep_aspect=bool(cfg.resolution_buckets))
+        self.train_ds = SegDataset(
+            self.ann.train_image_path, self.ann.train_coco,
+            self.ann.label_map, transform=train_tf)
         self.val_ds = SegDataset(self.ann.val_image_path, self.ann.val_coco,
                                  self.ann.label_map,
                                  transform=BaseTransform(cfg.input_shape))
@@ -194,17 +199,24 @@ class Trainer:
         """Aspect-ratio grouped sampler (models/init_model.py:98-125),
         built once per batch size — the ratio groups are constant for the
         whole run."""
-        if self.cfg.aspect_ratio_group_factor < 0:
+        if not self.cfg.resolution_buckets \
+                and self.cfg.aspect_ratio_group_factor < 0:
             return None
         cached = getattr(self, "_sampler_cache", None)
         if cached is not None and cached[0] == self.batch_size:
             return cached[1]
         from instancesegmentation_tpu.data.aspect_ratio import (
-            GroupedBatchSampler, create_aspect_ratio_groups)
-        groups = create_aspect_ratio_groups(
-            self.train_ds, self.cfg.aspect_ratio_group_factor)
-        sampler = GroupedBatchSampler(groups, self.batch_size,
-                                      seed=self.cfg.seed)
+            BucketBatchSampler, GroupedBatchSampler,
+            create_aspect_ratio_groups)
+        if self.cfg.resolution_buckets:
+            sampler = BucketBatchSampler(self.train_ds,
+                                         self.cfg.resolution_buckets,
+                                         self.batch_size, seed=self.cfg.seed)
+        else:
+            groups = create_aspect_ratio_groups(
+                self.train_ds, self.cfg.aspect_ratio_group_factor)
+            sampler = GroupedBatchSampler(groups, self.batch_size,
+                                          seed=self.cfg.seed)
         self._sampler_cache = (self.batch_size, sampler)
         return sampler
 

@@ -204,3 +204,53 @@ def test_normalize_image_stats():
     img = np.full((4, 4, 3), 123.68, np.float32)
     out = normalize_image(img)
     assert abs(out[..., 0]).max() < 1e-5
+
+
+def test_resize_keep_aspect():
+    from instancesegmentation_tpu.data.augment import resize_keep_aspect
+    img = np.full((100, 50, 3), 7.0, np.float32)          # tall 2:1
+    masks = np.ones((1, 100, 50), np.uint8)
+    boxes = np.array([[10.0, 20.0, 40.0, 80.0]], np.float32)
+    out, m, b = resize_keep_aspect(img, masks, boxes, (64, 64))
+    assert out.shape == (64, 64, 3) and m.shape == (1, 64, 64)
+    # scale = 64/100 = 0.64 -> content 64x32, right half gray pad
+    assert (out[:, :32] == 7.0).all() and (out[:, 32:] == 128.0).all()
+    assert m[0, :, :32].all() and not m[0, :, 32:].any()
+    np.testing.assert_allclose(b[0], [6.4, 12.8, 25.6, 51.2], atol=1e-5)
+
+
+def test_bucket_batch_sampler_and_loader(synth):
+    from instancesegmentation_tpu.data.aspect_ratio import BucketBatchSampler
+    from instancesegmentation_tpu.data.loader import RcnnCollate
+    buckets = ((64, 128), (96, 96), (128, 64))
+    ds = SegDataset(synth.train_image_path, synth.train_coco, synth.label_map,
+                    transform=BaseTransform((96, 96), keep_aspect=True))
+    sampler = BucketBatchSampler(ds, buckets, batch_size=2)
+    batches = sampler.epoch(0)
+    assert len(batches) == len(sampler)
+    for hw, idxs in batches:
+        assert hw in buckets and len(idxs) == 2
+    # square synthetic images -> everything lands in the square bucket
+    assert all(hw == (96, 96) for hw, _ in batches)
+
+    loader = Loader(ds, 2, RcnnCollate(8), num_workers=1,
+                    batch_sampler=sampler)
+    batch = next(iter(loader.epoch(0)))
+    assert batch["image"].shape == (2, 96, 96, 3)
+    assert batch["masks"].shape[-2:] == (96, 96)
+
+
+def test_bucket_assignment_nearest_ratio():
+    from instancesegmentation_tpu.data.aspect_ratio import \
+        assign_resolution_buckets
+
+    class _FakeCoco:
+        def loadImgs(self, i):
+            return [{"width": [200, 100, 50][i], "height": 100}]
+
+    class _FakeDs:
+        ids = [0, 1, 2]
+        coco = _FakeCoco()
+
+    idx = assign_resolution_buckets(_FakeDs(), ((64, 128), (96, 96), (128, 64)))
+    assert idx == [0, 1, 2]

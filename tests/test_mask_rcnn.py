@@ -196,3 +196,34 @@ def test_mask_rcnn_train_step_smoke():
     assert set(metrics) == {"loss_objectness", "loss_rpn_box_reg",
                             "loss_classifier", "loss_box_reg", "loss_mask",
                             "total"}
+
+
+def test_train_loss_traces_nonsquare_bucket():
+    """Resolution buckets: geometry is derived from the batch's static
+    shape, so a non-square bucket must trace without touching
+    cfg.input_shape (eval_shape = trace only, no compile)."""
+    from instancesegmentation_tpu.config import get_config
+    from instancesegmentation_tpu.models import get_model
+    from instancesegmentation_tpu.models.mask_rcnn.meta import \
+        make_mask_rcnn_train_fns
+
+    cfg = get_config("mask_rcnn_synth", input_shape=(64, 64), max_instances=4,
+                     mixed_precision=False)
+    model = get_model(cfg, train_mode=True)
+    b, m, hw = 2, 4, (64, 128)
+    variables = model.init({"params": jax.random.key(0)},
+                           np.zeros((1, 64, 64, 3), np.float32), True)
+    loss_fn = make_mask_rcnn_train_fns(model, cfg, train=True)
+    batch = {
+        "image": jax.ShapeDtypeStruct((b,) + hw + (3,), jnp.float32),
+        "boxes": jax.ShapeDtypeStruct((b, m, 4), jnp.float32),
+        "labels": jax.ShapeDtypeStruct((b, m), jnp.int32),
+        "masks": jax.ShapeDtypeStruct((b, m) + hw, jnp.uint8),
+        "valid": jax.ShapeDtypeStruct((b, m), jnp.bool_),
+        "is_crowd": jax.ShapeDtypeStruct((b, m), jnp.bool_),
+    }
+    out = jax.eval_shape(loss_fn, variables["params"],
+                         variables.get("batch_stats", {}), batch,
+                         jax.random.key(7))
+    total = out[0]
+    assert total.shape == ()

@@ -67,6 +67,37 @@ def test_multiscale_pallas_matches_separable(rng):
     np.testing.assert_allclose(ours, golden, rtol=2e-2, atol=2e-2)
 
 
+def test_pallas_aligned_matches_gather(rng):
+    """aligned=True threads through the kernel, the VJP, and multiscale."""
+    import jax
+    from instancesegmentation_tpu.ops.pallas.roi_align import roi_align_tpu
+
+    feat = rng.randn(16, 16, 8).astype(np.float32)
+    rois = np.array([[4, 4, 40, 60], [0, 0, 16, 16], [2.5, 3.5, 30.2, 44.9]],
+                    np.float32)
+    golden = np.asarray(ra.roi_align(jnp.asarray(feat), jnp.asarray(rois),
+                                     (7, 7), 0.25, 2, aligned=True))
+    ours = np.asarray(roi_align_pallas(jnp.asarray(feat), jnp.asarray(rois),
+                                       (7, 7), 0.25, 2, roi_block=2,
+                                       interpret=True, aligned=True))
+    np.testing.assert_allclose(ours, golden, rtol=2e-2, atol=2e-2)
+
+    cot = rng.randn(3, 7, 7, 8).astype(np.float32)
+
+    def f_pallas(f):
+        out = roi_align_tpu(f, jnp.asarray(rois), (7, 7), 0.25, 2, True, True)
+        return jnp.vdot(out, jnp.asarray(cot))
+
+    def f_golden(f):
+        out = ra.roi_align_separable(f, jnp.asarray(rois), (7, 7), 0.25, 2,
+                                     aligned=True)
+        return jnp.vdot(out, jnp.asarray(cot))
+
+    g_pallas = np.asarray(jax.grad(f_pallas)(jnp.asarray(feat)))
+    g_golden = np.asarray(jax.grad(f_golden)(jnp.asarray(feat)))
+    np.testing.assert_allclose(g_pallas, g_golden, rtol=2e-2, atol=2e-2)
+
+
 def test_pallas_roi_padding(rng):
     """Roi count not divisible by roi_block."""
     feat = rng.randn(8, 8, 4).astype(np.float32)

@@ -5,9 +5,11 @@ import pytest
 from instancesegmentation_tpu.ops import roi_align as ra
 
 
-def _numpy_roi_align(feat_hwc, rois, out_size, scale, sampling_ratio):
-    """Golden: scalar-loop roi_align with torchvision aligned=False
-    semantics (bilinear samples averaged per bin, zero outside [-1, size])."""
+def _numpy_roi_align(feat_hwc, rois, out_size, scale, sampling_ratio,
+                     aligned=False):
+    """Golden: scalar-loop roi_align with torchvision semantics (bilinear
+    samples averaged per bin, zero outside [-1, size]); ``aligned=True``
+    shifts the grid by -0.5 and drops the min-1 roi clamp."""
     h, w, c = feat_hwc.shape
     oh, ow = out_size
     s = sampling_ratio
@@ -26,9 +28,12 @@ def _numpy_roi_align(feat_hwc, rois, out_size, scale, sampling_ratio):
                 + feat_hwc[y1, x0] * ly * (1 - lx)
                 + feat_hwc[y1, x1] * ly * lx)
 
-    for ri, roi in enumerate(np.asarray(rois) * scale):
+    for ri, roi in enumerate(np.asarray(rois) * scale
+                             - (0.5 if aligned else 0.0)):
         x1, y1, x2, y2 = roi
-        rw, rh = max(x2 - x1, 1.0), max(y2 - y1, 1.0)
+        rw, rh = x2 - x1, y2 - y1
+        if not aligned:
+            rw, rh = max(rw, 1.0), max(rh, 1.0)
         bw, bh = rw / ow, rh / oh
         for i in range(oh):
             for j in range(ow):
@@ -50,6 +55,26 @@ def test_roi_align_matches_golden(rng, scale, sr):
                                    (7, 7), scale, sr))
     golden = _numpy_roi_align(feat, rois, (7, 7), scale, sr)
     np.testing.assert_allclose(ours, golden, rtol=1e-4, atol=1e-4)
+
+
+@pytest.mark.parametrize("scale", [1.0, 0.25])
+def test_roi_align_aligned_matches_golden(rng, scale):
+    """aligned=True (half-pixel-corrected grid) vs the scalar golden, for
+    both the gather and separable formulations."""
+    feat = rng.randn(24, 32, 8).astype(np.float32)
+    rois = np.array([[4, 4, 40, 60], [0, 0, 16, 16], [10, 6, 90, 80],
+                     [2.5, 3.5, 30.2, 44.9]], np.float32)
+    golden = _numpy_roi_align(feat, rois, (7, 7), scale, 2, aligned=True)
+    ours = np.asarray(ra.roi_align(jnp.asarray(feat), jnp.asarray(rois),
+                                   (7, 7), scale, 2, aligned=True))
+    np.testing.assert_allclose(ours, golden, rtol=1e-4, atol=1e-4)
+    sep = np.asarray(ra.roi_align_separable(
+        jnp.asarray(feat), jnp.asarray(rois), (7, 7), scale, 2, aligned=True))
+    np.testing.assert_allclose(sep, golden, rtol=1e-4, atol=1e-4)
+    # and it actually differs from aligned=False (the half-pixel bias)
+    off = np.asarray(ra.roi_align(jnp.asarray(feat), jnp.asarray(rois),
+                                  (7, 7), scale, 2, aligned=False))
+    assert np.abs(off - golden).max() > 1e-3
 
 
 @pytest.mark.parametrize("scale,sr", [(1.0, 2), (0.25, 2), (0.5, 4), (0.25, 1)])

@@ -40,6 +40,9 @@ def parse_args(argv=None):
                         "writes cost seconds; raise for long small runs)")
     p.add_argument("--smoke", action="store_true",
                    help="cap epochs/steps for a quick end-to-end check")
+    p.add_argument("--no_augment", action="store_true",
+                   help="train with resize-only transforms (diagnosis / "
+                        "memorization runs)")
     p.add_argument("--f32", action="store_true",
                    help="disable bf16 mixed precision (the reference's "
                         "fp16 flag, inverted: bf16 is the default on TPU)")
@@ -66,6 +69,8 @@ def main(argv=None):
     if args.smoke:
         cfg = cfg.replace(unfreeze_epoch=min(cfg.unfreeze_epoch, 2),
                           freeze_epoch=min(cfg.freeze_epoch, 1))
+    if args.no_augment:
+        cfg = cfg.replace(augment=False)
     if args.f32:
         cfg = cfg.replace(mixed_precision=False)
 
