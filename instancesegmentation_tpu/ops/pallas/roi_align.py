@@ -36,88 +36,165 @@ from jax.experimental.pallas import tpu as pltpu
 
 
 def _kernel(rois_ref, feat_ref, out_ref, *, oh: int, ow: int, h: int, w: int,
-            c: int, spatial_scale: float, sampling_ratio: int,
+            cb: int, spatial_scale: float, sampling_ratio: int,
             roi_block: int, aligned: bool):
-    """Grid: (num_roi_blocks,). rois_ref (roi_block, 4) SMEM;
-    feat_ref (H, W*C) bf16 VMEM (same block every step);
-    out (roi_block, oh*ow, C) f32."""
+    """Grid: (c_blocks, num_roi_blocks) — channels are embarrassingly
+    parallel in the separable form, so blocking C bounds the resident
+    (double-buffered!) feature block at P2 scale. rois_ref (R_padded, 4)
+    SMEM — the WHOLE roi table stays resident (R*16 B, well under the 1 MB
+    SMEM) because a per-step (roi_block, 4) block would need
+    roi_block % 8 == 0; feat_ref (1, H, W*Cb) bf16 VMEM (the caller
+    pre-transposes to channel-slab-major so the kernel reads a plain 2-D
+    matmul operand — an in-kernel (H,W,Cb)->(H,W*Cb) reshape forces a
+    per-step relayout, measured 10x slower); out (roi_block, oh*ow, Cb)
+    f32."""
     s = sampling_ratio
+    pid = pl.program_id(1)
 
-    def interp_matrix(start, bin_size, size, out_bins):
-        """(out_bins, size) pooling+interp operator for ONE roi, built from
-        2-D integer iota only."""
-        # sample coordinates, flattened (out_bins*s, 1)
-        flat = jax.lax.broadcasted_iota(jnp.int32, (out_bins * s, 1), 0)
-        bins = (flat // s).astype(jnp.float32)
-        off = ((flat % s).astype(jnp.float32) + 0.5) / s
-        coords = start + (bins + off) * bin_size            # (out_bins*s, 1)
+    def stacked_interp_matrix(starts, bin_sizes, size, out_bins):
+        """(roi_block*out_bins, size) pooling+interp operator for ALL rois
+        of the block STACKED along rows, built from 2-D integer iota only.
+        Stacking turns roi_block tiny (out_bins, size) matmuls into one
+        (roi_block*out_bins, size) matmul — M goes from ~7 to ~rb*7 rows,
+        which is the difference between ~6%% and ~40%% MXU row
+        utilization on the dominant contraction."""
+        n = roi_block * out_bins * s
+        flat = jax.lax.broadcasted_iota(jnp.int32, (n, 1), 0)
+        within = flat % (out_bins * s)
+        roi_of = flat // (out_bins * s)
+        bins = (within // s).astype(jnp.float32)
+        off = ((within % s).astype(jnp.float32) + 0.5) / s
+        start = jnp.zeros((n, 1), jnp.float32)
+        bsz = jnp.zeros((n, 1), jnp.float32)
+        for r in range(roi_block):                           # scalar selects
+            m = (roi_of == r).astype(jnp.float32)
+            start = start + m * starts[r]
+            bsz = bsz + m * bin_sizes[r]
+        coords = start + (bins + off) * bsz                  # (n, 1)
         valid = (coords >= -1.0) & (coords <= size)
         cc = jnp.clip(coords, 0.0, size - 1)
         c0 = jnp.floor(cc)
         frac = cc - c0
         c0i = c0.astype(jnp.int32)
         c1i = jnp.minimum(c0i + 1, size - 1)
-        iota = jax.lax.broadcasted_iota(jnp.int32, (out_bins * s, size), 1)
+        iota = jax.lax.broadcasted_iota(jnp.int32, (n, size), 1)
         m = ((iota == c0i) * (1.0 - frac)
-             + (iota == c1i) * frac) * valid                 # (out_bins*s, size)
+             + (iota == c1i) * frac) * valid                 # (n, size)
         # fold the bin average: sum the s sample rows per bin / s
-        return jnp.mean(m.reshape(out_bins, s, size), axis=1)
+        return jnp.mean(m.reshape(roi_block * out_bins, s, size), axis=1)
 
     shift = 0.5 if aligned else 0.0
-    for r in range(roi_block):                               # unrolled
-        x1 = rois_ref[r, 0] * spatial_scale - shift
-        y1 = rois_ref[r, 1] * spatial_scale - shift
-        x2 = rois_ref[r, 2] * spatial_scale - shift
-        y2 = rois_ref[r, 3] * spatial_scale - shift
+    y1s, bhs, x1s, bws = [], [], [], []
+    for r in range(roi_block):
+        idx = pid * roi_block + r
+        x1 = rois_ref[idx, 0] * spatial_scale - shift
+        y1 = rois_ref[idx, 1] * spatial_scale - shift
+        x2 = rois_ref[idx, 2] * spatial_scale - shift
+        y2 = rois_ref[idx, 3] * spatial_scale - shift
         roi_w, roi_h = x2 - x1, y2 - y1
         if not aligned:
             roi_w = jnp.maximum(roi_w, 1.0)
             roi_h = jnp.maximum(roi_h, 1.0)
+        y1s.append(y1); bhs.append(roi_h / oh)
+        x1s.append(x1); bws.append(roi_w / ow)
 
-        by = interp_matrix(y1, roi_h / oh, h, oh)            # (oh, H)
-        bx = interp_matrix(x1, roi_w / ow, w, ow)            # (ow, W)
+    by = stacked_interp_matrix(y1s, bhs, h, oh)              # (rb*oh, H)
+    bx = stacked_interp_matrix(x1s, bws, w, ow)              # (rb*ow, W)
 
-        tmp = jnp.dot(by.astype(jnp.bfloat16), feat_ref[:],
-                      preferred_element_type=jnp.float32)    # (oh, W*C)
-        tmp = tmp.reshape(oh, w, c)
+    # one stacked matmul for the dominant contraction (a bf16 round-trip
+    # on tmp was tried to buy more rows and measured SLOWER — the cast
+    # breaks Mosaic's dot pipelining)
+    tmp = jnp.dot(by.astype(jnp.bfloat16), feat_ref[0],
+                  preferred_element_type=jnp.float32)        # (rb*oh, W*Cb)
+    for r in range(roi_block):                               # unrolled
+        tmp_r = tmp[r * oh:(r + 1) * oh].reshape(oh, w, cb)
         out = jax.lax.dot_general(
-            bx, tmp, dimension_numbers=(((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32)              # (ow, oh, C)
-        out_ref[r, :, :] = jnp.transpose(out, (1, 0, 2)).reshape(oh * ow, c)
+            bx[r * ow:(r + 1) * ow], tmp_r,
+            dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32)              # (ow, oh, Cb)
+        out_ref[r, :, :] = jnp.transpose(out, (1, 0, 2)).reshape(oh * ow, cb)
+
+
+def _pick_blocks(h: int, w: int, c: int, oh: int, ow: int
+                 ) -> Tuple[int, int]:
+    """(c_block, roi_block) for the ~16 MB scoped-VMEM budget AND MXU row
+    utilization. Mosaic DOUBLE-BUFFERS input and output blocks, so the
+    feature block costs 2*H*W*Cb bf16 even though its index is constant;
+    the stacked (rb*oh, W*Cb) bf16 intermediate plus the output block are
+    live per step. Oversizing surfaces as a scoped-vmem stack OOM at
+    compile (observed at 544^2: 2x9.5 MB P2 block alone > 16 MB). The
+    stacked-rows matmul wants rb*oh ~ 128 (full MXU rows), so smaller
+    channel slabs that buy more rois per step win."""
+    budget = 17 * 2**20
+    # the out block's lane dim must be a multiple of 128 or the full C
+    # (Mosaic block rule, enforced on device only)
+    cands = [c] + [k for k in (256, 128) if k < c and c % k == 0]
+    best = (1, min(cands))
+    best_rows = 0
+    for cb in cands:
+        feat_db = 2 * h * w * cb * 2
+        if feat_db > budget - 2**20:
+            continue
+        rem = budget - feat_db
+        # ~10 B/elem for the stacked intermediate (f32 dot result, bf16
+        # copy, per-roi slice copies all live), calibrated on device
+        # against the compiler's scoped-vmem accounting: P2/cb=128 rb=6
+        # compiles, rb=8 reports 18.4M > 16M
+        per_roi = oh * w * cb * 10 + 2 * oh * ow * cb * 4
+        rb = int(min(rem // max(per_roi, 1), -(-128 // oh)))
+        if rb >= 1:
+            rows = min(rb * oh, 128)
+            # prefer more MXU rows; tie-break on larger slabs (fewer
+            # feature refetches)
+            if rows > best_rows or (rows == best_rows and cb > best[1]):
+                best, best_rows = (rb, cb), rows
+    rb, cb = best
+    return cb, rb
 
 
 def roi_align_pallas(feat: jnp.ndarray, rois: jnp.ndarray,
                      out_size: Tuple[int, int], spatial_scale: float,
-                     sampling_ratio: int = 2, roi_block: int = 8,
+                     sampling_ratio: int = 2, roi_block: int = 0,
                      interpret: bool = False,
                      aligned: bool = False) -> jnp.ndarray:
-    """feat (H, W, C); rois (R, 4) image-coord xyxy -> (R, oh, ow, C)."""
+    """feat (H, W, C); rois (R, 4) image-coord xyxy -> (R, oh, ow, C).
+    ``roi_block=0`` (default) sizes the blocks to the VMEM budget."""
     oh, ow = out_size
     r = rois.shape[0]
     h, w, c = feat.shape
+    cb, auto_rb = _pick_blocks(h, w, c, oh, ow)
+    if roi_block <= 0:
+        roi_block = auto_rb
     pad = (-r) % roi_block
     rois_p = jnp.pad(rois.astype(jnp.float32), ((0, pad), (0, 0)))
     n_blocks = (r + pad) // roi_block
 
-    kernel = functools.partial(_kernel, oh=oh, ow=ow, h=h, w=w, c=c,
+    kernel = functools.partial(_kernel, oh=oh, ow=ow, h=h, w=w, cb=cb,
                                spatial_scale=spatial_scale,
                                sampling_ratio=sampling_ratio,
                                roi_block=roi_block, aligned=aligned)
+    nc = c // cb
+    # channel-slab-major layout (nc, H, W*Cb): one cheap XLA transpose so
+    # each grid step reads a plain 2-D matmul operand
+    feat_slabs = (feat.astype(jnp.bfloat16)
+                  .reshape(h, w, nc, cb).transpose(2, 0, 1, 3)
+                  .reshape(nc, h, w * cb))
     out = pl.pallas_call(
         kernel,
-        grid=(n_blocks,),
+        grid=(nc, n_blocks),
         in_specs=[
-            pl.BlockSpec((roi_block, 4), lambda i: (i, 0),
+            pl.BlockSpec((r + pad, 4), lambda ic, ir: (0, 0),
                          memory_space=pltpu.SMEM),
-            # whole feature map resident in VMEM across all grid steps
-            pl.BlockSpec((h, w * c), lambda i: (0, 0),
+            # one channel slab, resident across all roi steps of this c step
+            pl.BlockSpec((1, h, w * cb), lambda ic, ir: (ic, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((roi_block, oh * ow, c), lambda i: (i, 0, 0),
+        out_specs=pl.BlockSpec((roi_block, oh * ow, cb),
+                               lambda ic, ir: (ir, 0, ic),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((r + pad, oh * ow, c), jnp.float32),
         interpret=interpret,
-    )(rois_p, feat.astype(jnp.bfloat16).reshape(h, w * c))
+    )(rois_p, feat_slabs)
     return out[:r].reshape(r, oh, ow, c).astype(feat.dtype)
 
 
@@ -149,7 +226,10 @@ def _roi_align_fwd(feat, rois, out_size, spatial_scale, sampling_ratio,
 def _roi_align_bwd(out_size, spatial_scale, sampling_ratio, interpret,
                    aligned, residual, g):
     """dF[h,w,c] = sum_r By_r[y,h] * Bx_r[x,w] * g_r[y,x,c] — the exact
-    transpose of the separable forward; two matmuls on the MXU."""
+    transpose of the separable forward; two matmuls on the MXU per roi
+    chunk. Rois are processed in chunks under lax.scan so the (Rc, oh, W,
+    C) intermediate stays ~tens of MB (unchunked at P2/544^2 it is
+    ~0.5 GB per level per image)."""
     from instancesegmentation_tpu.ops.roi_align import _interp_pool_matrix
 
     rois, marker = residual
@@ -165,11 +245,32 @@ def _roi_align_bwd(out_size, spatial_scale, sampling_ratio, interpret,
                              sampling_ratio, jnp.float32)        # (R, oh, H)
     bx = _interp_pool_matrix(x1, roi_w / ow, w, ow,
                              sampling_ratio, jnp.float32)        # (R, ow, W)
-    g32 = g.astype(jnp.float32)                                  # (R,oh,ow,C)
-    dtmp = jnp.einsum("rxw,ryxc->rywc", bx, g32,
-                      preferred_element_type=jnp.float32)        # (R,oh,W,C)
-    dfeat = jnp.einsum("ryh,rywc->hwc", by, dtmp,
-                       preferred_element_type=jnp.float32)       # (H,W,C)
+    r = rois.shape[0]
+    c = g.shape[-1]
+    # chunk so the dtmp intermediate stays ~<=32 MB
+    chunk = max(1, min(r, (32 * 2**20) // max(oh * w * c * 4, 1)))
+    while r % chunk:
+        chunk -= 1
+
+    def body(acc, args):
+        by_c, bx_c, g_c = args                                   # (Rc, ...)
+        # dtmp in bf16: the (Rc, oh, W, C) intermediate is pure HBM
+        # traffic (~0.5 GB/level/image at f32 for 512 rois on P2);
+        # upstream grads are bf16 under the mixed-precision policy anyway,
+        # and the final accumulation stays f32
+        dtmp = jnp.einsum("rxw,ryxc->rywc", bx_c.astype(jnp.bfloat16),
+                          g_c.astype(jnp.bfloat16),
+                          preferred_element_type=jnp.bfloat16)   # (Rc,oh,W,C)
+        return acc + jnp.einsum("ryh,rywc->hwc",
+                                by_c.astype(jnp.bfloat16), dtmp,
+                                preferred_element_type=jnp.float32), None
+
+    nchunk = r // chunk
+    dfeat, _ = jax.lax.scan(
+        body, jnp.zeros((h, w, c), jnp.float32),
+        (by.reshape(nchunk, chunk, oh, h),
+         bx.reshape(nchunk, chunk, ow, w),
+         g.reshape(nchunk, chunk, oh, ow, c)))
     return dfeat.astype(marker.dtype), jnp.zeros_like(rois)
 
 
