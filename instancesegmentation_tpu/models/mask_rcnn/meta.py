@@ -33,7 +33,6 @@ import jax.numpy as jnp
 
 from instancesegmentation_tpu.models.mask_rcnn import proposals as P
 from instancesegmentation_tpu.models.mask_rcnn import roi_heads as R
-from instancesegmentation_tpu.ops import boxes as box_ops
 from instancesegmentation_tpu.ops.anchors import (fpn_feature_sizes,
                                                   rcnn_grid_anchors,
                                                   rcnn_level_sizes)
@@ -52,8 +51,13 @@ def multiscale_roi_align(feats, rois, out_size, spatial_scales,
                          aligned=False):
     """MultiScaleRoIAlign dispatch: the Pallas kernel (custom VJP) on TPU,
     the jnp separable-matmul form elsewhere (CPU tests, interpret golden).
-    Both are exactly-equal implementations of torchvision roi_align."""
-    if jax.default_backend() == "tpu":
+    Both are exactly-equal implementations of torchvision roi_align.
+    INSTSEG_ROI_BACKEND=jnp|pallas overrides (A/B benchmarking)."""
+    import os
+    backend = os.environ.get("INSTSEG_ROI_BACKEND", "")
+    use_pallas = (backend == "pallas" or
+                  (backend != "jnp" and jax.default_backend() == "tpu"))
+    if use_pallas:
         from instancesegmentation_tpu.ops.pallas.roi_align import \
             multiscale_roi_align_pallas
         return multiscale_roi_align_pallas(feats, rois, out_size,
@@ -115,13 +119,13 @@ def make_mask_rcnn_train_fns(model, cfg, train: bool = True):
         loss_obj, loss_rpn_box = jnp.mean(obj_l), jnp.mean(box_l)
 
         # ---- proposals (detached, torchvision rpn_function.py:623) ----
-        prop_boxes = box_ops.decode_rcnn(
-            jax.lax.stop_gradient(deltas), anchors[None], (1.0, 1.0, 1.0, 1.0))
         props = jax.vmap(partial(
             P.filter_proposals, level_sizes=level_sizes, image_hw=image_hw,
             pre_nms_top_n=PRE_NMS_TOPK_TRAIN,
-            post_nms_top_n=POST_NMS_TOPK_TRAIN))(
-            prop_boxes, jax.lax.stop_gradient(objectness))
+            post_nms_top_n=POST_NMS_TOPK_TRAIN),
+            in_axes=(0, 0, None))(
+            jax.lax.stop_gradient(deltas),
+            jax.lax.stop_gradient(objectness), anchors)
 
         # ---- sample rois (vmapped) ------------------------------------
         sampled = jax.vmap(R.select_training_samples)(
@@ -200,12 +204,11 @@ def make_mask_rcnn_infer_fn(model, cfg, max_det: int = 100,
         feats = model.apply(variables, images, False, method="backbone_fpn")
         objectness, deltas = model.apply(variables, feats, method="rpn")
 
-        prop_boxes = box_ops.decode_rcnn(deltas, anchors[None],
-                                         (1.0, 1.0, 1.0, 1.0))
         props = jax.vmap(partial(
             P.filter_proposals, level_sizes=level_sizes, image_hw=image_hw,
             pre_nms_top_n=PRE_NMS_TOPK_TEST,
-            post_nms_top_n=POST_NMS_TOPK_TEST))(prop_boxes, objectness)
+            post_nms_top_n=POST_NMS_TOPK_TEST),
+            in_axes=(0, 0, None))(deltas, objectness, anchors)
 
         def align7(f2, f3, f4, f5, rois):
             return multiscale_roi_align((f2, f3, f4, f5), rois, (7, 7),

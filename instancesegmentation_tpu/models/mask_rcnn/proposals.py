@@ -78,15 +78,21 @@ class Proposals(NamedTuple):
     valid: jnp.ndarray    # (P,) bool
 
 
-def filter_proposals(proposals: jnp.ndarray, objectness: jnp.ndarray,
+def filter_proposals(deltas: jnp.ndarray, objectness: jnp.ndarray,
+                     anchors: jnp.ndarray,
                      level_sizes: Sequence[int], image_hw: Tuple[int, int],
                      pre_nms_top_n: int, post_nms_top_n: int,
                      nms_thresh: float = RPN_NMS_THRESH,
                      min_size: float = 1e-3,
                      score_thresh: float = 0.0,
                      nms_top_n: int = 1000) -> Proposals:
-    """One image. proposals (A,4) decoded px boxes; objectness (A,) logits;
-    level_sizes: anchors per FPN level (sum == A).
+    """One image. deltas (A,4) raw RPN regressions; objectness (A,) logits;
+    anchors (A,4) px; level_sizes: anchors per FPN level (sum == A).
+
+    Decode runs AFTER the per-level top-k (the reference decodes all A
+    anchors first, rpn_function.py:486-494 — per-anchor decode commutes
+    with top-k-by-objectness, so selecting first is identical at ~1/12 the
+    decode work for 544^2's ~74k anchors).
 
     Deviation (documented): the fixpoint NMS runs on the top
     min(pre_nms_top_n, nms_top_n) candidates per level. The reference NMSes
@@ -98,13 +104,15 @@ def filter_proposals(proposals: jnp.ndarray, objectness: jnp.ndarray,
     kept_boxes, kept_scores, kept_valid = [], [], []
     start = 0
     for size in level_sizes:
-        lvl_boxes = jax.lax.dynamic_slice_in_dim(proposals, start, size, 0)
+        lvl_deltas = jax.lax.dynamic_slice_in_dim(deltas, start, size, 0)
+        lvl_anchors = jax.lax.dynamic_slice_in_dim(anchors, start, size, 0)
         lvl_obj = jax.lax.dynamic_slice_in_dim(objectness, start, size, 0)
         start += size
 
         k = min(pre_nms_top_n, nms_top_n, size)
         top_obj, idx = jax.lax.top_k(lvl_obj, k)
-        top_boxes = lvl_boxes[idx]
+        top_boxes = box_ops.decode_rcnn(lvl_deltas[idx], lvl_anchors[idx],
+                                        (1.0, 1.0, 1.0, 1.0))
         top_boxes = box_ops.clip_boxes_to_image(top_boxes, image_hw)
         ok = box_ops.small_box_mask(top_boxes, min_size)
         ok &= jax.nn.sigmoid(top_obj) > score_thresh     # rpn_function.py:509

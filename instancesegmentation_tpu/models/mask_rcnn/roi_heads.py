@@ -116,12 +116,21 @@ def maskrcnn_loss(mask_logits: jnp.ndarray, mask_rois: jnp.ndarray,
     uint8 at image resolution (roi_head.py:94-146)."""
     m, oh, ow, _ = mask_logits.shape
     # project gt masks onto rois at 28x28 (project_masks_on_boxes: roi_align
-    # with spatial_scale=1 on the matched instance's mask)
-    def project(roi, gi):
+    # with spatial_scale=1 on the matched instance's mask). The per-roi
+    # mask is selected by a one-hot matmul rather than gt_masks[idx]: the
+    # vmapped index gather lowers to a sequential per-roi dynamic-slice
+    # loop on TPU (~2.5 ms/step traced at 544^2 b4), the matmul is one MXU
+    # pass; bit-exact because masks are 0/1.
+    g = gt_masks.shape[0]
+    sel = jax.nn.one_hot(roi_gt_idx, g, dtype=jnp.bfloat16)    # (M, G)
+    msel = jnp.einsum("mg,ghw->mhw", sel,
+                      gt_masks.astype(jnp.bfloat16))           # (M, H, W)
+
+    def project(roi, mask2d):
         return ra.roi_align_separable(
-            gt_masks[gi].astype(jnp.float32)[:, :, None],
+            mask2d.astype(jnp.float32)[:, :, None],
             roi[None], (oh, ow), 1.0, 2, aligned=aligned)[0, :, :, 0]
-    targets = jax.vmap(project)(mask_rois, roi_gt_idx)     # (M, 28, 28)
+    targets = jax.vmap(project)(mask_rois, msel)           # (M, 28, 28)
 
     picked = jnp.take_along_axis(
         mask_logits, roi_labels[:, None, None, None].clip(0), axis=3)[..., 0]

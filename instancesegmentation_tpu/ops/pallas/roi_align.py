@@ -226,10 +226,13 @@ def _roi_align_fwd(feat, rois, out_size, spatial_scale, sampling_ratio,
 def _roi_align_bwd(out_size, spatial_scale, sampling_ratio, interpret,
                    aligned, residual, g):
     """dF[h,w,c] = sum_r By_r[y,h] * Bx_r[x,w] * g_r[y,x,c] — the exact
-    transpose of the separable forward; two matmuls on the MXU per roi
-    chunk. Rois are processed in chunks under lax.scan so the (Rc, oh, W,
-    C) intermediate stays ~tens of MB (unchunked at P2/544^2 it is
-    ~0.5 GB per level per image)."""
+    transpose of the separable forward; two matmuls on the MXU. The
+    (R, oh, W, C) intermediate is kept bf16 (halves its HBM traffic, and
+    upstream grads are bf16 under the mixed-precision policy anyway); the
+    second contraction folds (r, y) into one K dimension and accumulates
+    f32. A chunked lax.scan variant was tried and traced SLOWER: its
+    per-chunk accumulator re-read/write of the batched (B, H, W, C) f32
+    dfeat cost more than the intermediate it saved."""
     from instancesegmentation_tpu.ops.roi_align import _interp_pool_matrix
 
     rois, marker = residual
@@ -245,32 +248,11 @@ def _roi_align_bwd(out_size, spatial_scale, sampling_ratio, interpret,
                              sampling_ratio, jnp.float32)        # (R, oh, H)
     bx = _interp_pool_matrix(x1, roi_w / ow, w, ow,
                              sampling_ratio, jnp.float32)        # (R, ow, W)
-    r = rois.shape[0]
-    c = g.shape[-1]
-    # chunk so the dtmp intermediate stays ~<=32 MB
-    chunk = max(1, min(r, (32 * 2**20) // max(oh * w * c * 4, 1)))
-    while r % chunk:
-        chunk -= 1
-
-    def body(acc, args):
-        by_c, bx_c, g_c = args                                   # (Rc, ...)
-        # dtmp in bf16: the (Rc, oh, W, C) intermediate is pure HBM
-        # traffic (~0.5 GB/level/image at f32 for 512 rois on P2);
-        # upstream grads are bf16 under the mixed-precision policy anyway,
-        # and the final accumulation stays f32
-        dtmp = jnp.einsum("rxw,ryxc->rywc", bx_c.astype(jnp.bfloat16),
-                          g_c.astype(jnp.bfloat16),
-                          preferred_element_type=jnp.bfloat16)   # (Rc,oh,W,C)
-        return acc + jnp.einsum("ryh,rywc->hwc",
-                                by_c.astype(jnp.bfloat16), dtmp,
-                                preferred_element_type=jnp.float32), None
-
-    nchunk = r // chunk
-    dfeat, _ = jax.lax.scan(
-        body, jnp.zeros((h, w, c), jnp.float32),
-        (by.reshape(nchunk, chunk, oh, h),
-         bx.reshape(nchunk, chunk, ow, w),
-         g.reshape(nchunk, chunk, oh, ow, c)))
+    dtmp = jnp.einsum("rxw,ryxc->rywc", bx.astype(jnp.bfloat16),
+                      g.astype(jnp.bfloat16),
+                      preferred_element_type=jnp.bfloat16)       # (R,oh,W,C)
+    dfeat = jnp.einsum("ryh,rywc->hwc", by.astype(jnp.bfloat16), dtmp,
+                       preferred_element_type=jnp.float32)       # (H,W,C)
     return dfeat.astype(marker.dtype), jnp.zeros_like(rois)
 
 

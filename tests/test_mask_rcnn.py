@@ -42,8 +42,10 @@ def test_filter_proposals_static_shapes():
     n = sum(level_sizes)
     boxes = rng.uniform(0, 90, (n, 2))
     boxes = np.concatenate([boxes, boxes + rng.uniform(5, 30, (n, 2))], 1)
-    props = P.filter_proposals(jnp.asarray(boxes.astype(np.float32)),
+    # zero deltas decode to the anchors themselves
+    props = P.filter_proposals(jnp.zeros((n, 4), jnp.float32),
                                jnp.asarray(rng.randn(n).astype(np.float32)),
+                               jnp.asarray(boxes.astype(np.float32)),
                                level_sizes, (100, 100),
                                pre_nms_top_n=20, post_nms_top_n=16)
     assert props.boxes.shape == (16, 4)
