@@ -34,7 +34,12 @@ def main(argv=None):
                    help="which split to score; 'train' is the overfit/"
                         "memorization probe (not part of the reference "
                         "protocol, which always scores val)")
+    p.add_argument("--set", action="append", default=[], metavar="KEY=VAL",
+                   help="override any Config field (repeatable); must match "
+                        "the overrides the checkpoint was trained with")
     args = p.parse_args(argv)
+
+    from train import parse_set_overrides
 
     from instancesegmentation_tpu.config import get_config
     from instancesegmentation_tpu.data.datasets import (SegDataset,
@@ -46,6 +51,8 @@ def main(argv=None):
     overrides = {k: v for k, v in (("data_root", args.data_root),
                                    ("out_root", args.out_root)) if v}
     cfg = get_config(args.config, **overrides)
+    if args.set:
+        cfg = cfg.replace(**parse_set_overrides(args.set, cfg))
     out_dir = os.path.join(cfg.out_root, cfg.name)
 
     ann = (synthetic_annotation(cfg.data_root) if cfg.exp_name == "shape"

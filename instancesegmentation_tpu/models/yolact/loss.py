@@ -91,7 +91,12 @@ def _lincomb_mask_loss(pos, coefs, proto, gt_masks, matched_box, matched_idx,
     sel_coef = coefs[sel]                                   # (S, K)
     sel_box = matched_box[sel]                              # (S, 4) normalized
     sel_gt = jnp.take(matched_idx, sel)                     # (S,)
-    sel_masks = gt_masks[sel_gt]                            # (S, Hp, Wp)
+    # one-hot matmul (exact on binary masks): the (S,) gather from
+    # (G, Hp, Wp) lowers to per-roi dynamic slices on TPU
+    g = gt_masks.shape[0]
+    sel_masks = jnp.einsum(
+        "sg,ghw->shw", jax.nn.one_hot(sel_gt, g, dtype=gt_masks.dtype),
+        gt_masks)                                           # (S, Hp, Wp)
 
     # proto (Hp, Wp, K) @ coef^T -> (S, Hp, Wp): one MXU matmul
     mask_logits = jnp.einsum("hwk,sk->shw", proto, sel_coef)

@@ -33,7 +33,12 @@ def softmax_cross_entropy(logits: jnp.ndarray, labels: jnp.ndarray) -> jnp.ndarr
     """
     logz = jax.nn.logsumexp(logits, axis=-1)
     safe = jnp.clip(labels, 0, logits.shape[-1] - 1)
-    picked = jnp.take_along_axis(logits, safe[..., None], axis=-1)[..., 0]
+    # one-hot multiply-sum instead of take_along_axis: the per-element
+    # gather lowers to a slow fusion on TPU (traced ~1.4 ms/step over
+    # B x 18525 anchors); the one-hot form is a fused elementwise+reduce
+    picked = jnp.sum(
+        logits * jax.nn.one_hot(safe, logits.shape[-1], dtype=logits.dtype),
+        axis=-1)
     return logz - picked
 
 

@@ -81,8 +81,13 @@ def match_yolact(pos_thresh: float, neg_thresh: float,
     anchor_max = jnp.where(forced >= 0, 2.0, anchor_max)
     anchor_idx = jnp.where(forced >= 0, forced, anchor_idx)
 
-    matched_box = gt_boxes[anchor_idx]                 # (A, 4)
-    conf = gt_labels[anchor_idx].astype(jnp.int32) + 1
+    # one-hot matmul instead of integer gathers: (A,) indices into (G, .)
+    # lower to slow per-element gathers on TPU (traced ~1.2 ms/step);
+    # exact because the selector is one-hot and labels are small ints
+    sel = jax.nn.one_hot(anchor_idx, num_gt, dtype=jnp.float32)   # (A, G)
+    matched_box = sel @ gt_boxes                                  # (A, 4)
+    conf = jnp.round(sel @ gt_labels.astype(jnp.float32)
+                     ).astype(jnp.int32) + 1
     conf = jnp.where(anchor_max < pos_thresh, -1, conf)
     conf = jnp.where(anchor_max < neg_thresh, 0, conf)
 

@@ -105,6 +105,10 @@ def make_phase_optimizer(cfg, lr: float, frozen_backbone: bool, params
         frozen_bn=cfg.frozen_bn)
     flat = flax.traverse_util.flatten_dict(labels)
     if all(v == "train" for v in flat.values()):
+        # NOTE: optax.flatten was tried here to collapse the per-tensor
+        # adam fusions into one vector op and measured SLOWER (36.2 vs
+        # 34.7 ms/step, YOLACT 544^2 b8) — the ravel/unravel copies defeat
+        # XLA's in-place buffer donation of m/v/params.
         return inner
     return optax.multi_transform(
         {"train": inner, "frozen": optax.set_to_zero()}, labels)

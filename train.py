@@ -46,7 +46,34 @@ def parse_args(argv=None):
     p.add_argument("--f32", action="store_true",
                    help="disable bf16 mixed precision (the reference's "
                         "fp16 flag, inverted: bf16 is the default on TPU)")
+    p.add_argument("--set", action="append", default=[], metavar="KEY=VAL",
+                   help="override any Config field (repeatable), e.g. "
+                        "--set roi_align_aligned=true --set lr=5e-5; value "
+                        "is coerced to the field's type")
     return p.parse_args(argv)
+
+
+def parse_set_overrides(pairs, cfg):
+    """'key=value' strings -> typed Config overrides."""
+    out = {}
+    for pair in pairs:
+        key, _, raw = pair.partition("=")
+        if not _ or not hasattr(cfg, key):
+            raise SystemExit(f"--set {pair!r}: unknown config field {key!r}")
+        cur = getattr(cfg, key)
+        if isinstance(cur, bool):
+            val = raw.lower() in ("1", "true", "yes")
+        elif isinstance(cur, int):
+            val = int(raw)
+        elif isinstance(cur, float):
+            val = float(raw)
+        elif isinstance(cur, tuple):
+            import ast
+            val = tuple(ast.literal_eval(raw))
+        else:
+            val = raw
+        out[key] = val
+    return out
 
 
 def main(argv=None):
@@ -73,6 +100,8 @@ def main(argv=None):
         cfg = cfg.replace(augment=False)
     if args.f32:
         cfg = cfg.replace(mixed_precision=False)
+    if args.set:
+        cfg = cfg.replace(**parse_set_overrides(args.set, cfg))
 
     out_dir = os.path.join(cfg.out_root, cfg.name)
     os.makedirs(out_dir, exist_ok=True)
