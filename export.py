@@ -31,6 +31,9 @@ def main(argv=None):
     p.add_argument("--nms_iou", type=float, default=None)
     p.add_argument("--verify", action="store_true",
                    help="deserialize + run the artifact and compare outputs")
+    p.add_argument("--set", action="append", default=[], metavar="KEY=VAL",
+                   help="override any Config field (repeatable); must match "
+                        "the overrides the checkpoint was trained with")
     args = p.parse_args(argv)
 
     import jax
@@ -40,6 +43,9 @@ def main(argv=None):
     from instancesegmentation_tpu.models import get_model
 
     cfg = get_config(args.config)
+    if args.set:
+        from train import parse_set_overrides
+        cfg = cfg.replace(**parse_set_overrides(args.set, cfg))
     out_dir = os.path.join(cfg.out_root, cfg.name)
     os.makedirs(out_dir, exist_ok=True)
     path = args.output or os.path.join(out_dir, f"{cfg.name}.stablehlo")

@@ -27,6 +27,9 @@ def build_predictor(args):
     if args.traditional_nms:
         overrides["traditional_nms"] = True
     cfg = get_config(args.config, **overrides)
+    if getattr(args, "set", None):
+        from train import parse_set_overrides
+        cfg = cfg.replace(**parse_set_overrides(args.set, cfg))
     ckpt = args.checkpoint or os.path.join(cfg.out_root, cfg.name, "ckpt",
                                            "best_epoch_weights")
     return cfg, get_predictor(cfg, checkpoint=ckpt,
@@ -56,6 +59,9 @@ def main(argv=None):
     p.add_argument("--traditional_nms", action="store_true",
                    help="exact per-class NMS instead of Fast-NMS "
                         "(reference export.py:109 / utils_bbox.py:102)")
+    p.add_argument("--set", action="append", default=[], metavar="KEY=VAL",
+                   help="override any Config field (repeatable); must match "
+                        "the overrides the checkpoint was trained with")
     args = p.parse_args(argv)
 
     import cv2

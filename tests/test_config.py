@@ -56,3 +56,27 @@ def test_frozen():
     cfg = get_config("yolact_base")
     with pytest.raises(Exception):
         cfg.init_lr = 5.0
+
+
+def test_cli_set_overrides():
+    """train.py --set KEY=VAL parsing: type coercion from the field."""
+    import sys
+    sys.path.insert(0, "/root/repo")
+    from train import parse_set_overrides
+
+    cfg = get_config("mask_rcnn_synth")
+    o = parse_set_overrides(
+        ["roi_align_aligned=true", "init_lr=5e-5", "trainable_layers=4",
+         "resolution_buckets=((64,128),(96,96))", "lr_decay_type=step"], cfg)
+    assert o["roi_align_aligned"] is True
+    assert o["init_lr"] == 5e-5 and isinstance(o["init_lr"], float)
+    assert o["trainable_layers"] == 4
+    assert o["resolution_buckets"] == ((64, 128), (96, 96))
+    assert o["lr_decay_type"] == "step"
+    cfg2 = cfg.replace(**o)
+    assert cfg2.roi_align_aligned and cfg2.init_lr == 5e-5
+
+    with pytest.raises(SystemExit):
+        parse_set_overrides(["not_a_field=1"], cfg)
+    with pytest.raises(SystemExit):
+        parse_set_overrides(["malformed"], cfg)
