@@ -86,8 +86,10 @@ def select_training_samples(proposals: jnp.ndarray, prop_valid: jnp.ndarray,
     rois = all_boxes[idx]
     sel_labels = jnp.where(sel_valid, labels[idx], 0)
     sel_matched = jnp.maximum(matched[idx], 0)
-    reg_targets = box_ops.encode_rcnn(gt_boxes[sel_matched], rois,
-                                      BOX_REG_WEIGHTS)
+    # one-hot matmul instead of gt_boxes[sel_matched] (slow TPU gather)
+    sel_gt = jax.nn.one_hot(sel_matched, gt_boxes.shape[0],
+                            dtype=gt_boxes.dtype) @ gt_boxes
+    reg_targets = box_ops.encode_rcnn(sel_gt, rois, BOX_REG_WEIGHTS)
     return SampledRoIs(rois, sel_labels, reg_targets, sel_matched, sel_valid)
 
 
@@ -116,21 +118,28 @@ def maskrcnn_loss(mask_logits: jnp.ndarray, mask_rois: jnp.ndarray,
     uint8 at image resolution (roi_head.py:94-146)."""
     m, oh, ow, _ = mask_logits.shape
     # project gt masks onto rois at 28x28 (project_masks_on_boxes: roi_align
-    # with spatial_scale=1 on the matched instance's mask). The per-roi
-    # mask is selected by a one-hot matmul rather than gt_masks[idx]: the
-    # vmapped index gather lowers to a sequential per-roi dynamic-slice
-    # loop on TPU (~2.5 ms/step traced at 544^2 b4), the matmul is one MXU
-    # pass; bit-exact because masks are 0/1.
+    # with spatial_scale=1 on the matched instance's mask), exactly the
+    # separable-matmul roi_align with the gt selection FOLDED INTO the
+    # contraction order. Avoids both (a) the per-roi integer gather of
+    # gt_masks[idx] (lowers to a 512-iteration sequential dynamic-slice
+    # loop, ~2.5 ms/step traced) and (b) a materialized per-roi (M, H, W)
+    # selected-mask tensor (~300 MB at 544^2): the Y-operator contracts
+    # every gt mask first — (M, G, oh, W) f32 is 2.4x smaller — then the
+    # one-hot selects per roi. All f32: numerically identical to gathering.
     g = gt_masks.shape[0]
-    sel = jax.nn.one_hot(roi_gt_idx, g, dtype=jnp.bfloat16)    # (M, G)
-    msel = jnp.einsum("mg,ghw->mhw", sel,
-                      gt_masks.astype(jnp.bfloat16))           # (M, H, W)
-
-    def project(roi, mask2d):
-        return ra.roi_align_separable(
-            mask2d.astype(jnp.float32)[:, :, None],
-            roi[None], (oh, ow), 1.0, 2, aligned=aligned)[0, :, :, 0]
-    targets = jax.vmap(project)(mask_rois, msel)           # (M, 28, 28)
+    hh, ww = gt_masks.shape[1], gt_masks.shape[2]
+    roi = mask_rois.astype(jnp.float32) - (0.5 if aligned else 0.0)
+    x1, y1 = roi[:, 0], roi[:, 1]
+    rw, rh = roi[:, 2] - roi[:, 0], roi[:, 3] - roi[:, 1]
+    if not aligned:
+        rw = jnp.maximum(rw, 1.0)
+        rh = jnp.maximum(rh, 1.0)
+    by = ra._interp_pool_matrix(y1, rh / oh, hh, oh, 2, jnp.float32)
+    bx = ra._interp_pool_matrix(x1, rw / ow, ww, ow, 2, jnp.float32)
+    sel = jax.nn.one_hot(roi_gt_idx, g, dtype=jnp.float32)     # (M, G)
+    t = jnp.einsum("myh,ghw->mgyw", by, gt_masks.astype(jnp.float32))
+    t = jnp.einsum("mgyw,mg->myw", t, sel)                     # (M, oh, W)
+    targets = jnp.einsum("myw,mxw->myx", t, bx)                # (M, 28, 28)
 
     picked = jnp.take_along_axis(
         mask_logits, roi_labels[:, None, None, None].clip(0), axis=3)[..., 0]

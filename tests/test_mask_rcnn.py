@@ -229,3 +229,32 @@ def test_train_loss_traces_nonsquare_bucket():
                          jax.random.key(7))
     total = out[0]
     assert total.shape == ()
+
+
+def test_maskrcnn_projection_matches_gather_roi_align():
+    """The folded one-hot projection inside maskrcnn_loss must equal
+    gathering the matched mask then running separable roi_align on it."""
+    from instancesegmentation_tpu.models.mask_rcnn import roi_heads as R
+    from instancesegmentation_tpu.ops import roi_align as ra
+
+    rng = np.random.RandomState(3)
+    g, hh, ww, m = 5, 64, 64, 7
+    gt_masks = (rng.rand(g, hh, ww) > 0.5).astype(np.float32)
+    rois = rng.uniform(2, 30, (m, 4)).astype(np.float32)
+    rois[:, 2:] += rois[:, :2]
+    gi = rng.randint(0, g, (m,))
+
+    mask_logits = jnp.zeros((m, 28, 28, 4), jnp.float32)
+    labels = jnp.ones((m,), jnp.int32)
+    valid = jnp.ones((m,), bool)
+    loss_new = float(R.maskrcnn_loss(mask_logits, jnp.asarray(rois),
+                                     labels, jnp.asarray(gi), valid,
+                                     jnp.asarray(gt_masks)))
+
+    # golden: explicit gather + per-roi separable roi_align
+    tgt = np.stack([np.asarray(ra.roi_align_separable(
+        jnp.asarray(gt_masks[gidx])[:, :, None], jnp.asarray(r[None]),
+        (28, 28), 1.0, 2))[0, :, :, 0] for r, gidx in zip(rois, gi)])
+    bce = -(tgt * np.log(0.5) + (1 - tgt) * np.log(0.5))
+    loss_gold = float(bce.mean(axis=(1, 2)).mean())
+    np.testing.assert_allclose(loss_new, loss_gold, rtol=1e-5, atol=1e-6)
