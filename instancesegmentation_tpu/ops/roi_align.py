@@ -135,6 +135,12 @@ def roi_align_separable(feat: jnp.ndarray, rois: jnp.ndarray,
     """
     oh, ow = out_size
     dtype = feat.dtype
+    # compute follows the input dtype: for bf16 FPN features (the model's
+    # mixed-precision path) the (R, oh, W, C) intermediate is the dominant
+    # HBM traffic — upcasting it to f32 doubles that for no accuracy the
+    # bf16 features still carry. f32 inputs keep exact f32 compute (the
+    # golden-test and mask-target-projection path).
+    compute = jnp.bfloat16 if dtype == jnp.bfloat16 else jnp.float32
     roi = rois.astype(jnp.float32) * spatial_scale - (0.5 if aligned else 0.0)
     x1, y1 = roi[:, 0], roi[:, 1]
     roi_w, roi_h = roi[:, 2] - roi[:, 0], roi[:, 3] - roi[:, 1]
@@ -147,9 +153,10 @@ def roi_align_separable(feat: jnp.ndarray, rois: jnp.ndarray,
     bx = _interp_pool_matrix(x1, roi_w / ow, feat.shape[1], ow,
                              sampling_ratio, jnp.float32)           # (R,ow,W)
 
-    tmp = jnp.einsum("ryh,hwc->rywc", by, feat.astype(jnp.float32),
-                     preferred_element_type=jnp.float32)
-    out = jnp.einsum("rywc,rxw->ryxc", tmp, bx,
+    tmp = jnp.einsum("ryh,hwc->rywc", by.astype(compute),
+                     feat.astype(compute),
+                     preferred_element_type=compute)
+    out = jnp.einsum("rywc,rxw->ryxc", tmp, bx.astype(compute),
                      preferred_element_type=jnp.float32)
     return out.astype(dtype)
 
