@@ -65,9 +65,12 @@ def main():
         init_model = (model.clone(dtype=jnp.float32)
                       if cfg.mixed_precision else model)
         variables = init_model.init({"params": rng}, image_h, train=False)
+    from instancesegmentation_tpu.utils.device import pin_to_device
     device = jax.devices()[0]
-    image = jax.device_put(image_h, device)
-    variables = jax.device_put(variables, device)
+    # pin: device_put buffers stay host-backed on the tunneled backend and
+    # re-upload per call (utils/device.py)
+    image = pin_to_device(jax.device_put(image_h, device))
+    variables = pin_to_device(jax.device_put(variables, device))
 
     anchors = yolact_anchors(cfg.input_shape, cfg.anchors_size)
     infer = jax.jit(make_infer_fn(model, anchors, cfg.confidence,

@@ -68,7 +68,10 @@ class MaskRCNNPredictor:
             from instancesegmentation_tpu.train.checkpoints import \
                 load_inference_variables
             variables = load_inference_variables(checkpoint)
-        self.variables = variables
+        # pin once: host-backed params are re-uploaded on EVERY call
+        # on the tunneled backend (~3.7 s for Mask R-CNN; utils/device.py)
+        from instancesegmentation_tpu.utils.device import pin_to_device
+        self.variables = pin_to_device(variables)
         self._infer = jax.jit(make_mask_rcnn_infer_fn(
             self.model, cfg, max_det=cfg.max_detections,
             nms_thresh=self.nms_iou))

@@ -51,7 +51,10 @@ class YolactPredictor:
             from instancesegmentation_tpu.train.checkpoints import \
                 load_inference_variables
             variables = load_inference_variables(checkpoint)
-        self.variables = variables
+        # pin once: host-backed params are re-uploaded on EVERY call
+        # on the tunneled backend (~3.7 s for Mask R-CNN; utils/device.py)
+        from instancesegmentation_tpu.utils.device import pin_to_device
+        self.variables = pin_to_device(variables)
 
         infer = make_infer_fn(self.model, self.anchors, self.confidence,
                               self.nms_iou, cfg.top_k, cfg.max_detections,

@@ -1,0 +1,30 @@
+"""Device-residency helpers.
+
+``pin_to_device`` exists because of a measured behavior of the tunneled
+axon TPU backend: buffers created by ``jax.device_put`` (or passed as
+host numpy) remain host-backed and are RE-UPLOADED on every execution
+that consumes them — for Mask R-CNN's ~176 MB parameter tree that is
+~3.7 s per inference call (traced: 0.5 s dispatch + 3.2 s sync, device
+busy 9 ms). Buffers that are the OUTPUT of a device execution are
+device-resident, so routing a pytree through a trivial jitted computation
+once makes every later use fast (10.6 ms/call measured after pinning).
+On normal backends the pin is one cheap extra execution at setup.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+
+def _refresh(x):
+    """Identity that XLA cannot alias away to the (host-backed) input."""
+    x = jnp.asarray(x)
+    if x.dtype == jnp.bool_:
+        return jnp.logical_not(jnp.logical_not(x))
+    return x + jnp.zeros((), x.dtype)
+
+
+def pin_to_device(tree):
+    """Return ``tree`` materialized as device-execution outputs."""
+    return jax.jit(lambda t: jax.tree_util.tree_map(_refresh, t))(tree)
