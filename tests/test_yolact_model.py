@@ -97,3 +97,23 @@ def test_loss_all_constants_applied(small_model):
     assert float(out["M"]) == 0.0
     assert np.isfinite(float(out["C"]))
     assert np.isfinite(float(out["S"]))
+
+
+def test_s2d_stem_equals_direct_conv():
+    """S2DStemConv == the reference 7x7/s2 pad-3 conv, exactly (the
+    space-to-depth rewrite is a coordinate change, not an approximation),
+    with the nn.Conv-compatible param tree (kernel (7,7,Cin,F))."""
+    from instancesegmentation_tpu.models.resnet import S2DStemConv
+
+    rng = np.random.RandomState(0)
+    x = jnp.asarray(rng.randn(2, 32, 48, 3).astype(np.float32))
+    mod = S2DStemConv(8, dtype=jnp.float32)
+    v = mod.init(jax.random.key(0), x)
+    assert v["params"]["kernel"].shape == (7, 7, 3, 8)
+    out = mod.apply(v, x)
+    ref = jax.lax.conv_general_dilated(
+        x, v["params"]["kernel"], window_strides=(2, 2),
+        padding=((3, 3), (3, 3)),
+        dimension_numbers=("NHWC", "HWIO", "NHWC"))
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=1e-5, atol=1e-5)
