@@ -231,3 +231,26 @@ def test_maskrcnn_weight_conversion():
                       np.ones((1, 64, 64, 3), np.float32), train=False)
     assert all(np.all(np.isfinite(np.asarray(x)))
                for x in jax.tree_util.tree_leaves(out))
+
+
+def test_pin_to_device_preserves_values():
+    """pin_to_device must be a value-identity for every dtype used in
+    checkpoints (f32/bf16/int/bool) while producing fresh buffers."""
+    import jax
+    import jax.numpy as jnp
+    from instancesegmentation_tpu.utils.device import pin_to_device
+
+    rng = np.random.RandomState(0)
+    tree = {
+        "w": rng.randn(4, 3).astype(np.float32),
+        "h": jnp.asarray(rng.randn(2, 2), jnp.bfloat16),
+        "step": np.int32(7),
+        "mask": np.array([True, False, True]),
+    }
+    out = pin_to_device(tree)
+    np.testing.assert_array_equal(np.asarray(out["w"]), tree["w"])
+    np.testing.assert_array_equal(np.asarray(out["h"], np.float32),
+                                  np.asarray(tree["h"], np.float32))
+    assert int(out["step"]) == 7
+    np.testing.assert_array_equal(np.asarray(out["mask"]), tree["mask"])
+    assert all(isinstance(v, jax.Array) for v in jax.tree.leaves(out))
