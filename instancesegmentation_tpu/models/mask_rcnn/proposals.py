@@ -49,10 +49,14 @@ def assign_targets_to_anchors(anchors: jnp.ndarray, gt_boxes: jnp.ndarray,
     labels = jnp.where(matched >= 0, 1, jnp.where(
         matched == match_ops.BELOW_LOW_THRESHOLD, 0, -1)).astype(jnp.int32)
     # one-hot matmul: a (A,) integer gather from (G, 4) lowers to a slow
-    # per-element fusion on TPU (traced ~1.3 ms/step over 74k anchors)
+    # per-element fusion on TPU (traced ~1.3 ms/step over 74k anchors).
+    # HIGHEST precision: default-precision f32 matmuls run in bf16 on TPU
+    # and would quantize the regression-target coordinates (see
+    # ops/matcher.py).
     g = gt_boxes.shape[0]
-    matched_gt = jax.nn.one_hot(jnp.maximum(matched, 0), g,
-                                dtype=gt_boxes.dtype) @ gt_boxes
+    matched_gt = jnp.matmul(
+        jax.nn.one_hot(jnp.maximum(matched, 0), g, dtype=gt_boxes.dtype),
+        gt_boxes, precision=jax.lax.Precision.HIGHEST)
     reg_targets = box_ops.encode_rcnn(matched_gt, anchors, (1.0, 1.0, 1.0, 1.0))
     return RPNTargets(labels, reg_targets)
 

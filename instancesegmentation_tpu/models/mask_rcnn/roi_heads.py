@@ -86,9 +86,12 @@ def select_training_samples(proposals: jnp.ndarray, prop_valid: jnp.ndarray,
     rois = all_boxes[idx]
     sel_labels = jnp.where(sel_valid, labels[idx], 0)
     sel_matched = jnp.maximum(matched[idx], 0)
-    # one-hot matmul instead of gt_boxes[sel_matched] (slow TPU gather)
-    sel_gt = jax.nn.one_hot(sel_matched, gt_boxes.shape[0],
-                            dtype=gt_boxes.dtype) @ gt_boxes
+    # one-hot matmul instead of gt_boxes[sel_matched] (slow TPU gather);
+    # HIGHEST precision so the selected coordinates are not bf16-rounded
+    # (see ops/matcher.py)
+    sel_gt = jnp.matmul(
+        jax.nn.one_hot(sel_matched, gt_boxes.shape[0], dtype=gt_boxes.dtype),
+        gt_boxes, precision=jax.lax.Precision.HIGHEST)
     reg_targets = box_ops.encode_rcnn(sel_gt, rois, BOX_REG_WEIGHTS)
     return SampledRoIs(rois, sel_labels, reg_targets, sel_matched, sel_valid)
 
@@ -136,10 +139,14 @@ def maskrcnn_loss(mask_logits: jnp.ndarray, mask_rois: jnp.ndarray,
         rh = jnp.maximum(rh, 1.0)
     by = ra._interp_pool_matrix(y1, rh / oh, hh, oh, 2, jnp.float32)
     bx = ra._interp_pool_matrix(x1, rw / ow, ww, ow, 2, jnp.float32)
+    # HIGHEST precision: these produce TRAINING TARGETS; default-precision
+    # f32 einsums run in bf16 on TPU (torchvision computes this in f32)
+    hi = jax.lax.Precision.HIGHEST
     sel = jax.nn.one_hot(roi_gt_idx, g, dtype=jnp.float32)     # (M, G)
-    t = jnp.einsum("myh,ghw->mgyw", by, gt_masks.astype(jnp.float32))
-    t = jnp.einsum("mgyw,mg->myw", t, sel)                     # (M, oh, W)
-    targets = jnp.einsum("myw,mxw->myx", t, bx)                # (M, 28, 28)
+    t = jnp.einsum("myh,ghw->mgyw", by, gt_masks.astype(jnp.float32),
+                   precision=hi)
+    t = jnp.einsum("mgyw,mg->myw", t, sel, precision=hi)       # (M, oh, W)
+    targets = jnp.einsum("myw,mxw->myx", t, bx, precision=hi)  # (M, 28, 28)
 
     picked = jnp.take_along_axis(
         mask_logits, roi_labels[:, None, None, None].clip(0), axis=3)[..., 0]

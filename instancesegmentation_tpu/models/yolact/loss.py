@@ -8,9 +8,9 @@ every constant: bbox x1.5, mask x6.125, OHEM neg:pos 3:1, mask-positive cap
 TPU-native re-design:
 * anchor matching is `vmap(match_yolact)` over a padded batch
   (replaces the batch loop :140-166),
-* OHEM mines negatives with one values-only sort + cutoff compare
-  (replaces the double argsort :223-233; boundary-tie semantics differ,
-  measure-zero for float logits),
+* OHEM ranks negatives with one batched argsort+scatter (:223-233;
+  rank semantics kept exactly — bf16 logits make boundary ties common,
+  see _ohem_conf_loss),
 * the lincomb mask loss samples <=100 positives per image with
   random-priority top_k (replaces randperm :300-305) and evaluates
   proto @ coef^T as one einsum per image on the MXU,
@@ -54,18 +54,20 @@ def _ohem_conf_loss(pred_classes, conf, pos, negpos_ratio):
     mark = jax.nn.logsumexp(pred_classes, axis=-1) - pred_classes[..., 0]
     mark = jnp.where(pos | (conf < 0), 0.0, mark)
 
-    # Mining cutoff via ONE values-only sort: the (num_neg+1)-th largest
-    # mark is the first excluded value, so strictly-greater marks are the
-    # mined set. Equals the reference's rank<num_neg double argsort
-    # (yolact_training.py:223-233) except exact ties at the boundary
-    # (measure-zero for float logits); a sort of values is ~2x cheaper on
-    # TPU than argsort+scatter over (B, 18525).
+    # Rank-based mining, matching the reference's double argsort
+    # (yolact_training.py:223-233): rank[i] = position in a descending
+    # stable sort, ties broken by position. A values-only sort + cutoff
+    # compare was tried (~1.4 ms cheaper) and REGRESSED training: marks
+    # are bf16-quantized (the conf head computes in bf16), so early
+    # training has huge tie plateaus and `mark > cutoff` mines far fewer
+    # than the 3:1 hard negatives on ties.
+    ranks = jnp.zeros((b, a), jnp.int32).at[
+        jnp.arange(b)[:, None],
+        jnp.argsort(-mark, axis=1, stable=True)].set(
+        jnp.broadcast_to(jnp.arange(a, dtype=jnp.int32), (b, a)))
     num_pos = jnp.sum(pos, axis=1, keepdims=True)          # (B, 1)
     num_neg = jnp.minimum(negpos_ratio * num_pos, a - 1)
-    sorted_desc = jnp.sort(mark, axis=1)[:, ::-1]          # (B, A)
-    cutoff = jnp.take_along_axis(sorted_desc, num_neg.astype(jnp.int32),
-                                 axis=1)                   # (B, 1)
-    neg = (mark > cutoff) & ~pos & (conf >= 0)
+    neg = (ranks < num_neg) & ~pos & (conf >= 0)
 
     ce = L.softmax_cross_entropy(pred_classes, jnp.maximum(conf, 0))
     return L.masked_sum(ce, pos | neg)
