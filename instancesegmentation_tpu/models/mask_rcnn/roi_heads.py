@@ -7,9 +7,9 @@ with static shapes:
 * select_training_samples (:281-364): gt appended to proposals,
   Matcher(0.5, 0.5, no low-quality), 512-sample @ 25% positives,
   BoxCoder weights (10, 10, 5, 5);
-* fastrcnn_loss (:12-56): CE over sampled + smooth-L1(beta=1/9... note the
-  reference uses beta=1/9 ONLY in the RPN; the box head uses default
-  beta=1) summed over positive rows / num sampled;
+* fastrcnn_loss (:12-56): CE over sampled + smooth-L1 with beta=1/9 (the
+  reference box head passes beta=1/9 explicitly, roi_head.py:52, same as
+  its RPN) summed over positive rows / num sampled;
 * maskrcnn_loss (:94-146): gt masks projected onto positive rois with
   28x28 roi_align, BCE against the gt-class mask channel;
 * postprocess_detections (:366-457): per-class decode, clip, score 0.05,
@@ -72,14 +72,15 @@ def select_training_samples(proposals: jnp.ndarray, prop_valid: jnp.ndarray,
     labels = jnp.where(all_valid, labels, -1).astype(jnp.int32)
 
     sample_labels = jnp.where(labels > 0, 1, jnp.where(labels == 0, 0, -1))
+    rng_sample, rng_tie = jax.random.split(rng)
     pos_mask, neg_mask = match_ops.balanced_sample(
-        sample_labels, all_valid, num_samples, BOX_POS_FRACTION, rng)
+        sample_labels, all_valid, num_samples, BOX_POS_FRACTION, rng_sample)
     chosen = pos_mask | neg_mask
 
     # gather a FIXED num_samples set: positives first (highest priority),
     # then negatives; unfilled slots invalid
     prio = jnp.where(pos_mask, 2.0, jnp.where(neg_mask, 1.0, 0.0))
-    prio += jax.random.uniform(rng, prio.shape) * 0.5      # break ties randomly
+    prio += jax.random.uniform(rng_tie, prio.shape) * 0.5  # break ties randomly
     _, idx = jax.lax.top_k(prio, num_samples)
     sel_valid = chosen[idx]
 
@@ -122,13 +123,16 @@ def maskrcnn_loss(mask_logits: jnp.ndarray, mask_rois: jnp.ndarray,
     m, oh, ow, _ = mask_logits.shape
     # project gt masks onto rois at 28x28 (project_masks_on_boxes: roi_align
     # with spatial_scale=1 on the matched instance's mask), exactly the
-    # separable-matmul roi_align with the gt selection FOLDED INTO the
-    # contraction order. Avoids both (a) the per-roi integer gather of
-    # gt_masks[idx] (lowers to a 512-iteration sequential dynamic-slice
-    # loop, ~2.5 ms/step traced) and (b) a materialized per-roi (M, H, W)
-    # selected-mask tensor (~300 MB at 544^2): the Y-operator contracts
-    # every gt mask first — (M, G, oh, W) f32 is 2.4x smaller — then the
-    # one-hot selects per roi. All f32: numerically identical to gathering.
+    # separable-matmul roi_align with the gt selection as a one-hot matmul
+    # (a vmapped integer gather of gt_masks[idx] lowers to a sequential
+    # dynamic-slice loop, ~2.5 ms/step traced). The contraction ORDER is
+    # picked by intermediate size: selecting first materializes (M, H, W),
+    # pooling first materializes (M, G, oh, W) — the latter only wins when
+    # G*oh < H (small instance budgets / large images); at e.g. G=48,
+    # 544^2 it would be ~374 MB f32 per image and OOM under vmap+backward.
+    # Both orders are numerically identical to gathering: the one-hot
+    # selection of BINARY masks is exact in any dtype (bf16 halves the
+    # intermediate's HBM traffic; the pooling matmuls stay f32/HIGHEST).
     g = gt_masks.shape[0]
     hh, ww = gt_masks.shape[1], gt_masks.shape[2]
     roi = mask_rois.astype(jnp.float32) - (0.5 if aligned else 0.0)
@@ -142,10 +146,19 @@ def maskrcnn_loss(mask_logits: jnp.ndarray, mask_rois: jnp.ndarray,
     # HIGHEST precision: these produce TRAINING TARGETS; default-precision
     # f32 einsums run in bf16 on TPU (torchvision computes this in f32)
     hi = jax.lax.Precision.HIGHEST
-    sel = jax.nn.one_hot(roi_gt_idx, g, dtype=jnp.float32)     # (M, G)
-    t = jnp.einsum("myh,ghw->mgyw", by, gt_masks.astype(jnp.float32),
-                   precision=hi)
-    t = jnp.einsum("mgyw,mg->myw", t, sel, precision=hi)       # (M, oh, W)
+    if g * oh >= hh:
+        # select-first: (M, H, W) intermediate; exact one-hot pick of
+        # binary masks in bf16 (0/1 representable), then f32 pooling
+        sel = jax.nn.one_hot(roi_gt_idx, g, dtype=jnp.bfloat16)
+        sel_masks = jnp.einsum("mg,ghw->mhw", sel,
+                               gt_masks.astype(jnp.bfloat16))  # (M, H, W)
+        t = jnp.einsum("myh,mhw->myw", by,
+                       sel_masks.astype(jnp.float32), precision=hi)
+    else:
+        sel = jax.nn.one_hot(roi_gt_idx, g, dtype=jnp.float32)   # (M, G)
+        t = jnp.einsum("myh,ghw->mgyw", by, gt_masks.astype(jnp.float32),
+                       precision=hi)
+        t = jnp.einsum("mgyw,mg->myw", t, sel, precision=hi)   # (M, oh, W)
     targets = jnp.einsum("myw,mxw->myx", t, bx, precision=hi)  # (M, 28, 28)
 
     picked = jnp.take_along_axis(

@@ -49,10 +49,13 @@ class S2DStemConv(nn.Module):
         kernel = self.param("kernel", nn.initializers.lecun_normal(),
                             (7, 7, cin, self.features), jnp.float32)
         if h % 2 or w % 2:
-            # odd input: fall back to the direct form
-            return nn.Conv(self.features, (7, 7), strides=(2, 2), padding=3,
-                           use_bias=False, dtype=self.dtype,
-                           name="direct")(x)
+            # odd input: direct 7x7/s2 conv with the SAME kernel param —
+            # a separate nn.Conv here would make the parameter tree depend
+            # on input parity (checkpoint incompatibility across shapes)
+            return jax.lax.conv_general_dilated(
+                x.astype(self.dtype), kernel.astype(self.dtype),
+                window_strides=(2, 2), padding=((3, 3), (3, 3)),
+                dimension_numbers=("NHWC", "HWIO", "NHWC"))
         k8 = jnp.pad(kernel, ((1, 0), (1, 0), (0, 0), (0, 0)))   # (8,8,C,F)
         # (8,8,C,F) -> (4,dy, 4,dx, C,F) -> (4,4, dy,dx,C, F)
         k2 = k8.reshape(4, 2, 4, 2, cin, self.features)

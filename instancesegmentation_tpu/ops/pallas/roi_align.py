@@ -129,7 +129,7 @@ def _pick_blocks(h: int, w: int, c: int, oh: int, ow: int
     # the out block's lane dim must be a multiple of 128 or the full C
     # (Mosaic block rule, enforced on device only)
     cands = [c] + [k for k in (256, 128) if k < c and c % k == 0]
-    best = (1, min(cands))
+    best = None
     best_rows = 0
     for cb in cands:
         feat_db = 2 * h * w * cb * 2
@@ -146,8 +146,18 @@ def _pick_blocks(h: int, w: int, c: int, oh: int, ow: int
             rows = min(rb * oh, 128)
             # prefer more MXU rows; tie-break on larger slabs (fewer
             # feature refetches)
-            if rows > best_rows or (rows == best_rows and cb > best[1]):
+            if rows > best_rows or (rows == best_rows
+                                    and (best is None or cb > best[1])):
                 best, best_rows = (rb, cb), rows
+    if best is None:
+        # even the smallest lane-legal channel slab (128) double-buffered
+        # exceeds scoped VMEM (e.g. P2 of an 800x1333 bucket): launching
+        # anyway would produce the compile-time OOM this sizing exists to
+        # prevent — dispatch away from the kernel instead
+        raise ValueError(
+            f"roi_align_pallas: no (c_block, roi_block) fits the ~16 MB "
+            f"scoped-VMEM budget for feature {h}x{w}x{c} -> {oh}x{ow}; "
+            f"use multiscale_roi_align_separable for this shape")
     rb, cb = best
     return cb, rb
 

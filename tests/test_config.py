@@ -80,3 +80,20 @@ def test_cli_set_overrides():
         parse_set_overrides(["not_a_field=1"], cfg)
     with pytest.raises(SystemExit):
         parse_set_overrides(["malformed"], cfg)
+
+
+def test_cli_set_overrides_coercion_errors():
+    """Malformed values exit cleanly; scalars broadcast to tuple fields."""
+    import sys
+    sys.path.insert(0, "/root/repo")
+    from train import parse_set_overrides
+
+    cfg = get_config("mask_rcnn_synth")
+    # scalar for a tuple field broadcasts
+    o = parse_set_overrides(["input_shape=544"], cfg)
+    assert o["input_shape"] == (544, 544)
+    # malformed literals / wrong types exit with a message, not a traceback
+    for bad in ["input_shape=(544,", "init_lr=abc", "trainable_layers=3.5",
+                "input_shape=foo"]:
+        with pytest.raises(SystemExit):
+            parse_set_overrides([bad], cfg)

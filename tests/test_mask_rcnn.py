@@ -258,3 +258,31 @@ def test_maskrcnn_projection_matches_gather_roi_align():
     bce = -(tgt * np.log(0.5) + (1 - tgt) * np.log(0.5))
     loss_gold = float(bce.mean(axis=(1, 2)).mean())
     np.testing.assert_allclose(loss_new, loss_gold, rtol=1e-5, atol=1e-6)
+
+
+def test_maskrcnn_projection_pool_first_branch():
+    """Same golden check for the pool-first contraction order (taken when
+    G*28 < H — small instance budget, larger image); both orders must be
+    numerically identical to the explicit gather."""
+    from instancesegmentation_tpu.models.mask_rcnn import roi_heads as R
+    from instancesegmentation_tpu.ops import roi_align as ra
+
+    rng = np.random.RandomState(5)
+    g, hh, ww, m = 2, 96, 96, 5          # g*28 = 56 < 96 -> pool-first
+    gt_masks = (rng.rand(g, hh, ww) > 0.5).astype(np.float32)
+    rois = rng.uniform(2, 40, (m, 4)).astype(np.float32)
+    rois[:, 2:] += rois[:, :2]
+    gi = rng.randint(0, g, (m,))
+
+    mask_logits = jnp.zeros((m, 28, 28, 4), jnp.float32)
+    labels = jnp.ones((m,), jnp.int32)
+    valid = jnp.ones((m,), bool)
+    loss_new = float(R.maskrcnn_loss(mask_logits, jnp.asarray(rois),
+                                     labels, jnp.asarray(gi), valid,
+                                     jnp.asarray(gt_masks)))
+    tgt = np.stack([np.asarray(ra.roi_align_separable(
+        jnp.asarray(gt_masks[gidx])[:, :, None], jnp.asarray(r[None]),
+        (28, 28), 1.0, 2))[0, :, :, 0] for r, gidx in zip(rois, gi)])
+    bce = -(tgt * np.log(0.5) + (1 - tgt) * np.log(0.5))
+    loss_gold = float(bce.mean(axis=(1, 2)).mean())
+    np.testing.assert_allclose(loss_new, loss_gold, rtol=1e-5, atol=1e-6)

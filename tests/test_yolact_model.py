@@ -117,3 +117,26 @@ def test_s2d_stem_equals_direct_conv():
         dimension_numbers=("NHWC", "HWIO", "NHWC"))
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
                                rtol=1e-5, atol=1e-5)
+
+
+def test_s2d_stem_odd_shape_same_param_tree():
+    """Odd H/W inputs must use the SAME 'kernel' param (direct 7x7/s2
+    lowering), so a checkpoint initialized at even shapes applies at odd
+    shapes and vice versa — no parity-dependent parameter tree."""
+    from instancesegmentation_tpu.models.resnet import S2DStemConv
+
+    rng = np.random.RandomState(1)
+    mod = S2DStemConv(8, dtype=jnp.float32)
+    x_even = jnp.asarray(rng.randn(1, 32, 32, 3).astype(np.float32))
+    x_odd = jnp.asarray(rng.randn(1, 33, 47, 3).astype(np.float32))
+    v_even = mod.init(jax.random.key(0), x_even)
+    v_odd = mod.init(jax.random.key(0), x_odd)
+    assert set(v_even["params"]) == set(v_odd["params"]) == {"kernel"}
+    # even-init params apply cleanly at odd shapes and match the direct conv
+    out = mod.apply(v_even, x_odd)
+    ref = jax.lax.conv_general_dilated(
+        x_odd, v_even["params"]["kernel"], window_strides=(2, 2),
+        padding=((3, 3), (3, 3)),
+        dimension_numbers=("NHWC", "HWIO", "NHWC"))
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=1e-5, atol=1e-5)

@@ -61,17 +61,26 @@ def parse_set_overrides(pairs, cfg):
         if not _ or not hasattr(cfg, key):
             raise SystemExit(f"--set {pair!r}: unknown config field {key!r}")
         cur = getattr(cfg, key)
-        if isinstance(cur, bool):
-            val = raw.lower() in ("1", "true", "yes")
-        elif isinstance(cur, int):
-            val = int(raw)
-        elif isinstance(cur, float):
-            val = float(raw)
-        elif isinstance(cur, tuple):
-            import ast
-            val = tuple(ast.literal_eval(raw))
-        else:
-            val = raw
+        try:
+            if isinstance(cur, bool):
+                val = raw.lower() in ("1", "true", "yes")
+            elif isinstance(cur, int):
+                val = int(raw)
+            elif isinstance(cur, float):
+                val = float(raw)
+            elif isinstance(cur, tuple):
+                import ast
+                lit = ast.literal_eval(raw)
+                # scalar for a tuple field broadcasts to the field's
+                # length (--set input_shape=544 -> (544, 544))
+                val = (tuple(lit) if isinstance(lit, (tuple, list))
+                       else (lit,) * max(len(cur), 1))
+            else:
+                val = raw
+        except (ValueError, SyntaxError, TypeError) as e:
+            raise SystemExit(
+                f"--set {pair!r}: cannot coerce {raw!r} to the type of "
+                f"{key!r} ({type(cur).__name__}): {e}")
         out[key] = val
     return out
 
