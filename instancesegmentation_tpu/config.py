@@ -188,7 +188,27 @@ def _mask_rcnn_base() -> Config:
                   class_names=VOC_CLASSES,
                   freeze_batch_size=4, unfreeze_batch_size=2,
                   init_lr=5e-3, optimizer_type="sgd", momentum=0.9,
-                  weight_decay=5e-4, frozen_bn=True, max_instances=48)
+                  weight_decay=5e-4, frozen_bn=True, max_instances=48,
+                  aspect_ratio_group_factor=3)
+
+
+@register("mask_rcnn_base800")
+def _mask_rcnn_base800() -> Config:
+    """mask_rcnn_base at the reference's REAL operating resolution: the
+    dataset resizes to 544^2 but GeneralizedRCNNTransform(min_size=800,
+    max_size=1333) upscales to ~800 inside the network for train AND
+    inference (faster_rcnn_framework.py:257,362; transform.py:256-301).
+    The static-shape analogue: three resolution buckets around 800 px
+    chosen by aspect ratio, keep-aspect resize + pad, one compiled step
+    per bucket."""
+    return Config(name="mask_rcnn_base800", net="mask_rcnn", exp_name="voc",
+                  class_names=VOC_CLASSES,
+                  input_shape=(800, 800),
+                  resolution_buckets=((800, 800), (640, 832), (832, 640)),
+                  freeze_batch_size=4, unfreeze_batch_size=2,
+                  init_lr=5e-3, optimizer_type="sgd", momentum=0.9,
+                  weight_decay=5e-4, frozen_bn=True, max_instances=48,
+                  aspect_ratio_group_factor=3)
 
 
 @register("yolact_coco")
@@ -206,7 +226,8 @@ def _mask_rcnn_coco() -> Config:
                   classes_path="model_data/coco_classes.txt",
                   freeze_batch_size=4, unfreeze_batch_size=2,
                   init_lr=5e-3, optimizer_type="sgd", momentum=0.9,
-                  weight_decay=5e-4, frozen_bn=True, max_instances=96)
+                  weight_decay=5e-4, frozen_bn=True, max_instances=96,
+                  aspect_ratio_group_factor=3)
 
 
 @register("yolact_verseg")
@@ -222,7 +243,8 @@ def _mask_rcnn_verseg() -> Config:
                   exp_name="verseg", class_names=("vertebra",),
                   freeze_batch_size=4, unfreeze_batch_size=2,
                   init_lr=5e-3, optimizer_type="sgd", momentum=0.9,
-                  weight_decay=5e-4, frozen_bn=True, max_instances=32)
+                  weight_decay=5e-4, frozen_bn=True, max_instances=32,
+                  aspect_ratio_group_factor=3)
 
 
 @register("yolact_synth")
@@ -240,6 +262,26 @@ def _yolact_synth() -> Config:
                   # at bs 4 the scaled LR (3e-5) cannot memorize the set
                   freeze_batch_size=16, unfreeze_batch_size=16,
                   num_workers=2, ema=False, early_stopping=False)
+
+
+@register("mask_rcnn_synth_buckets")
+def _mask_rcnn_synth_buckets() -> Config:
+    """Bucketed-training smoke config: aspect-varied synthetic shapes,
+    three small buckets (one compiled step per bucket). CI analogue of
+    mask_rcnn_base800."""
+    from instancesegmentation_tpu.data.datasets import SHAPE_CLASSES
+    return Config(name="mask_rcnn_synth_buckets", net="mask_rcnn",
+                  exp_name="shape",
+                  data_root="/tmp/instseg_synth_ar",
+                  class_names=tuple(SHAPE_CLASSES),
+                  input_shape=(160, 160),
+                  resolution_buckets=((160, 160), (128, 192), (192, 128)),
+                  max_instances=8,
+                  freeze_epoch=1, unfreeze_epoch=2,
+                  freeze_batch_size=2, unfreeze_batch_size=2,
+                  init_lr=5e-3, optimizer_type="sgd", momentum=0.9,
+                  weight_decay=5e-4, num_workers=2, ema=False,
+                  early_stopping=False, trainable_layers=5)
 
 
 @register("mask_rcnn_synth")

@@ -84,6 +84,18 @@ class GroupedBatchSampler:
         return batches[:target]
 
 
+def nearest_bucket(h: int, w: int,
+                   buckets: Sequence[Sequence[int]]) -> tuple:
+    """The bucket (H, W) whose aspect ratio best matches an h x w image
+    (|log(w/h) - log(W/H)| — the same rule assign_resolution_buckets uses
+    for training, applied per image at eval/predict time so train and
+    inference geometry match, as GeneralizedRCNNTransform does for both
+    paths: reference transform.py:256-301 train, :362 inference)."""
+    r = np.log(w / h)
+    bucket_ratios = np.log([b[1] / b[0] for b in buckets])
+    return tuple(int(x) for x in buckets[int(np.argmin(np.abs(r - bucket_ratios)))])
+
+
 def assign_resolution_buckets(dataset,
                               buckets: Sequence[Sequence[int]]) -> List[int]:
     """Bucket index per sample: nearest bucket by |log aspect ratio|.

@@ -152,10 +152,13 @@ SHAPE_CLASSES = ["square", "triangle", "circle"]
 
 def make_synthetic_coco(root: str, split: str, num_images: int = 16,
                         image_size: int = 160, seed: int = 704,
-                        max_objects: int = 4) -> Tuple[str, str]:
+                        max_objects: int = 4,
+                        vary_aspect: bool = False) -> Tuple[str, str]:
     """Generate a tiny COCO-format dataset of colored shapes on gray noise.
 
     Returns (image_dir, json_path). Deterministic given the seed.
+    ``vary_aspect`` draws each image's W/H from {3:4, 1:1, 4:3} so
+    aspect-ratio grouping / resolution-bucket assignment is non-trivial.
     """
     import cv2
     import json as _json
@@ -168,6 +171,9 @@ def make_synthetic_coco(root: str, split: str, num_images: int = 16,
     ann_id = 1
     for i in range(num_images):
         h = w = image_size
+        if vary_aspect:
+            ratio = [0.75, 1.0, 4.0 / 3.0][rng.randint(3)]      # w/h
+            w = int(round(image_size * ratio))
         img = rng.randint(90, 120, (h, w, 3)).astype(np.uint8)
         n_obj = rng.randint(1, max_objects + 1)
         # draw onto an instance-id canvas first so ground truth stores the
@@ -224,9 +230,13 @@ def make_synthetic_coco(root: str, split: str, num_images: int = 16,
 
 
 def synthetic_annotation(root: str, num_images: int = 16,
-                         image_size: int = 160) -> Annotation:
-    """Build (generating if needed) the synthetic dataset's Annotation."""
+                         image_size: int = 160,
+                         vary_aspect: bool = False) -> Annotation:
+    """Build (generating if needed) the synthetic dataset's Annotation.
+    ``vary_aspect`` datasets should live under their own root (generation
+    is skipped when annotations already exist)."""
     for split in ("train", "val"):
         if not os.path.exists(os.path.join(root, split, "annotations.json")):
-            make_synthetic_coco(root, split, num_images, image_size)
+            make_synthetic_coco(root, split, num_images, image_size,
+                                vary_aspect=vary_aspect)
     return get_annotation("shape", root, list(SHAPE_CLASSES))

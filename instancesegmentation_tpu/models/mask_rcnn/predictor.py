@@ -58,6 +58,13 @@ class MaskRCNNPredictor:
         self.confidence = confidence if confidence is not None else cfg.confidence
         self.nms_iou = nms_iou if nms_iou is not None else cfg.eval_nms_iou
         self.input_shape = tuple(cfg.input_shape)
+        # bucketed configs evaluate the way they train: keep-aspect resize
+        # into the nearest bucket + pad, then un-pad on postprocess — the
+        # GeneralizedRCNNTransform inference path (reference
+        # transform.py:256-301 resize, :388-418 postprocess un-scale)
+        self.buckets = (tuple(tuple(int(x) for x in b)
+                              for b in cfg.resolution_buckets)
+                        if cfg.resolution_buckets else None)
         self.class_names = list(cfg.class_names)
         self.colors = class_colors(len(self.class_names))
 
@@ -76,26 +83,45 @@ class MaskRCNNPredictor:
             self.model, cfg, max_det=cfg.max_detections,
             nms_thresh=self.nms_iou))
 
-    def _preprocess(self, image_rgb: np.ndarray) -> np.ndarray:
+    def _preprocess(self, image_rgb: np.ndarray):
+        """Returns (x[None], (fx, fy)) where model-coord boxes map back to
+        the original image as box * (fx, fy, fx, fy)."""
         import cv2
         from instancesegmentation_tpu.data.augment import normalize_image
         from instancesegmentation_tpu.data.loader import RcnnCollate
-        ih, iw = self.input_shape
-        resized = cv2.resize(image_rgb.astype(np.float32), (iw, ih),
-                             interpolation=cv2.INTER_CUBIC)
-        x = normalize_image(resized)
+        h, w = image_rgb.shape[:2]
+        if self.buckets is not None:
+            from instancesegmentation_tpu.data.aspect_ratio import \
+                nearest_bucket
+            th, tw = nearest_bucket(h, w, self.buckets)
+            s = min(th / h, tw / w)
+            nh, nw = max(1, int(round(h * s))), max(1, int(round(w * s)))
+            resized = cv2.resize(image_rgb.astype(np.float32), (nw, nh),
+                                 interpolation=cv2.INTER_CUBIC)
+            canvas = np.full((th, tw, 3), 128.0, np.float32)  # gray pad,
+            canvas[:nh, :nw] = resized        # top-left like training
+            x = canvas
+            scale = (w / nw, h / nh)
+        else:
+            ih, iw = self.input_shape
+            x = cv2.resize(image_rgb.astype(np.float32), (iw, ih),
+                           interpolation=cv2.INTER_CUBIC)
+            scale = (w / iw, h / ih)
+        x = normalize_image(x)
         x = (x - RcnnCollate.IMAGENET_MEAN) / RcnnCollate.IMAGENET_STD
-        return x[None]
+        return x[None], scale
 
-    def _finish(self, dets_i, probs_i, orig_hw, thresh):
+    def _finish(self, dets_i, probs_i, orig_hw, thresh, scale):
         """Host-side finishing for ONE image: threshold, rescale boxes to
-        the original resolution, paste 28^2 mask probs (transform.py:
-        388-418)."""
+        the original resolution (un-pads keep-aspect inputs by
+        construction), paste 28^2 mask probs (transform.py:388-418)."""
         h, w = orig_hw
-        ih, iw = self.input_shape
+        fx, fy = scale
         valid = dets_i["valid"] & (dets_i["scores"] >= thresh)
         boxes = dets_i["boxes"][valid]
-        boxes = boxes * np.array([w / iw, h / ih, w / iw, h / ih], np.float32)
+        boxes = boxes * np.array([fx, fy, fx, fy], np.float32)
+        boxes[:, 0::2] = boxes[:, 0::2].clip(0, w)
+        boxes[:, 1::2] = boxes[:, 1::2].clip(0, h)
         scores = dets_i["scores"][valid]
         labels = dets_i["labels"][valid]                    # 1..K
         probs = probs_i[valid]                              # (N, 28, 28)
@@ -110,16 +136,28 @@ class MaskRCNNPredictor:
 
     def raw_detect_batch(self, images_rgb, score_thresh=None):
         """Batched inference: one device dispatch per chunk (the eval
-        throughput path). A new batch size triggers one extra compile."""
-        batch = np.concatenate([self._preprocess(im) for im in images_rgb])
-        dets, mask_probs = self._infer(self.variables, batch)
-        dets = {"boxes": np.asarray(dets.boxes), "scores": np.asarray(dets.scores),
-                "labels": np.asarray(dets.labels), "valid": np.asarray(dets.valid)}
-        mask_probs = np.asarray(mask_probs)
+        throughput path). A new batch size triggers one extra compile;
+        under buckets, images are grouped by their assigned bucket shape
+        (one dispatch per bucket present in the chunk)."""
         thresh = self.confidence if score_thresh is None else score_thresh
-        return [self._finish({k: v[i] for k, v in dets.items()},
-                             mask_probs[i], images_rgb[i].shape[:2], thresh)
-                for i in range(len(images_rgb))]
+        preps = [self._preprocess(im) for im in images_rgb]
+        groups = {}
+        for i, (x, _) in enumerate(preps):
+            groups.setdefault(x.shape[1:3], []).append(i)
+        out = [None] * len(images_rgb)
+        for idxs in groups.values():
+            batch = np.concatenate([preps[i][0] for i in idxs])
+            dets, mask_probs = self._infer(self.variables, batch)
+            dets = {"boxes": np.asarray(dets.boxes),
+                    "scores": np.asarray(dets.scores),
+                    "labels": np.asarray(dets.labels),
+                    "valid": np.asarray(dets.valid)}
+            mask_probs = np.asarray(mask_probs)
+            for k, i in enumerate(idxs):
+                out[i] = self._finish(
+                    {key: v[k] for key, v in dets.items()}, mask_probs[k],
+                    images_rgb[i].shape[:2], thresh, preps[i][1])
+        return out
 
     # -- reference API ---------------------------------------------------
     def detect_image(self, image_rgb: np.ndarray) -> np.ndarray:
@@ -142,7 +180,7 @@ class MaskRCNNPredictor:
         return out
 
     def get_FPS(self, image_rgb: np.ndarray, test_interval: int = 100) -> float:
-        batch = self._preprocess(image_rgb)
+        batch, _ = self._preprocess(image_rgb)
         dets, probs = self._infer(self.variables, batch)
         np.asarray(dets.scores)   # host sync (see yolact predictor note)
         t0 = time.time()

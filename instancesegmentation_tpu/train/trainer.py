@@ -69,21 +69,30 @@ class Trainer:
 
         # ---- data ------------------------------------------------------
         if cfg.exp_name == "shape":
-            self.ann = synthetic_annotation(cfg.data_root)
+            # bucketed smoke runs need non-square images for the bucket
+            # assignment to be non-trivial
+            self.ann = synthetic_annotation(
+                cfg.data_root, vary_aspect=bool(cfg.resolution_buckets))
         else:
             self.ann = get_annotation(cfg.exp_name, cfg.data_root,
                                       list(cfg.class_names))
         if cfg.resolution_buckets and cfg.net != "mask_rcnn":
             raise ValueError("resolution_buckets requires net='mask_rcnn' "
                              "(YOLACT anchors/proto are input-shape bound)")
+        keep_aspect = bool(cfg.resolution_buckets)
         train_tf = (Augmentation if cfg.augment else BaseTransform)(
-            cfg.input_shape, keep_aspect=bool(cfg.resolution_buckets))
+            cfg.input_shape, keep_aspect=keep_aspect)
         self.train_ds = SegDataset(
             self.ann.train_image_path, self.ann.train_coco,
             self.ann.label_map, transform=train_tf)
+        # val geometry matches train: under buckets, keep-aspect fit+pad
+        # into input_shape (GeneralizedRCNNTransform applies the same
+        # resize at train and eval, reference transform.py:256-301)
         self.val_ds = SegDataset(self.ann.val_image_path, self.ann.val_coco,
                                  self.ann.label_map,
-                                 transform=BaseTransform(cfg.input_shape))
+                                 transform=BaseTransform(
+                                     cfg.input_shape,
+                                     keep_aspect=keep_aspect))
         if cfg.net == "yolact":
             self.collate = YolactCollate(cfg.max_instances, cfg.proto_shape)
         else:

@@ -61,3 +61,33 @@ def test_train_loss_decreases_overfit(cfg):
         losses.append(float(metrics["total"]))
     assert all(np.isfinite(l) for l in losses)
     assert np.mean(losses[-3:]) < np.mean(losses[:3]) * 0.9, losses
+
+
+def test_trainer_bucketed_mask_rcnn_smoke(tmp_path_factory):
+    """Resolution-bucketed Mask R-CNN training end-to-end: aspect-varied
+    synthetic data, BucketBatchSampler active with >=2 distinct bucket
+    shapes in an epoch, keep-aspect val transform, finite losses (the
+    static-shape analogue of the reference's min800/max1333 packing)."""
+    from instancesegmentation_tpu.config import get_config
+    from instancesegmentation_tpu.train.trainer import Trainer
+
+    cfg = get_config(
+        "mask_rcnn_synth_buckets",
+        data_root=str(tmp_path_factory.mktemp("synth_ar")),
+        out_root=str(tmp_path_factory.mktemp("out")),
+        input_shape=(96, 96),
+        resolution_buckets=((96, 96), (80, 112), (112, 80)),
+        freeze_batch_size=8, unfreeze_batch_size=8,
+        num_workers=1, mixed_precision=False,
+        unfreeze_epoch=1, freeze_epoch=0, freeze_train=False)
+    tr = Trainer(cfg, max_steps_per_epoch=4)
+    # the sampler groups by bucket and tags each batch with its (H, W)
+    sampler = tr._group_sampler()
+    hw_seen = {hw for hw, _ in sampler.epoch(0)}
+    assert len(hw_seen) >= 2, hw_seen
+    assert hw_seen <= set(cfg.resolution_buckets)
+    # val transform preserves aspect (matches training geometry)
+    assert tr.val_ds.transform.keep_aspect
+    result = tr.train()
+    assert np.isfinite(result["train_loss"])
+    assert np.isfinite(result["val_loss"])
