@@ -28,14 +28,27 @@ class CheckpointIO:
 
     def save(self, name: str, state: Any, meta: Optional[Dict] = None):
         # 1) snapshot to host first: the trainer DONATES state buffers on
-        #    the next step, which races orbax's async device reads (hangs);
+        #    the next step, which races orbax's async device reads (hangs).
+        #    Multi-process runs skip this (device_get cannot materialize
+        #    non-addressable shards; orbax writes each host's shards and
+        #    coordinates across processes itself);
         # 2) serialize saves: force=True deletes the target dir, which
         #    races an in-flight async write to the same path.
         import jax
-        host_state = jax.device_get(state)
+        if jax.process_count() == 1:
+            host_state = jax.device_get(state)
+        else:
+            # cross-process-sharded arrays go to orbax as-is (it writes
+            # each host's shards); host-local leaves (e.g. the step
+            # scalar) are snapshotted to numpy, which orbax serializes as
+            # replicated — as jax.Arrays they would be rejected
+            # ("Cannot serialize host local jax.Array in multi-host")
+            host_state = jax.tree_util.tree_map(
+                lambda x: jax.device_get(x)
+                if getattr(x, "is_fully_addressable", True) else x, state)
         self._ckptr.wait_until_finished()
         self._ckptr.save(self._path(name), host_state, force=True)
-        if meta is not None:
+        if meta is not None and jax.process_index() == 0:
             # sidecar epoch/phase record: resume derives start_epoch from
             # here instead of step // steps_per_epoch, which miscounts
             # across the phase switch (batch size changes at unfreeze)
