@@ -1,15 +1,20 @@
 #!/usr/bin/env python
-"""Benchmark: YOLACT-R50 544x544 single-image inference throughput on the
-local accelerator (the reference's get_FPS protocol:
-/root/reference/inst_model/yolact/yolact.py:201-243 — mean latency over
-test_interval forward+decode iterations at batch 1).
+"""Benchmark: instance-segmentation inference throughput on the local
+accelerator, following the reference's get_FPS protocol
+(/root/reference/inst_model/yolact/yolact.py:201-243 and
+inst_model/Mask_RCNN/mask_rcnn.py:230-271 — mean latency over
+test_interval forward+decode iterations).
 
-Prints ONE json line:
-  {"metric": "yolact_r50_544_infer_fps", "value": <img/s>, "unit": "img/s",
-   "vs_baseline": <value / 42.5>}
+Prints ONE json line. The primary metric is YOLACT-R50 544^2 batch-1
+inference (the BASELINE.json north star); `extra_metrics` carries the
+batch-16 YOLACT row (the device-bound number — batch 1 sits on the ~1 ms
+tunnel dispatch floor) and Mask R-CNN R50-FPN 544^2 batch 1 (the full
+RPN -> NMS -> RoIAlign -> heads -> per-class NMS -> 28^2 mask graph).
 
-Baseline 42.5 FPS = YOLACT paper R50-550 on Titan Xp (BASELINE.md: the
-reference repo publishes no numbers of its own; PAPERS.md arXiv 1904.02689).
+Baselines: 42.5 FPS = YOLACT paper R50-550 on Titan Xp (arXiv 1904.02689;
+the reference repo publishes no numbers of its own — BASELINE.md);
+5.13 FPS = Mask R-CNN paper "~195 ms per frame" on an M40
+(arXiv 1703.06870 §4.2).
 """
 
 import os
@@ -22,24 +27,113 @@ import json
 import sys
 import time
 
-
-BASELINE_FPS = 42.5
+YOLACT_BASELINE_FPS = 42.5
+MASK_RCNN_BASELINE_FPS = 1000.0 / 195.0
 
 
 def parse_args(argv=None):
     p = argparse.ArgumentParser(description=__doc__)
+    p.add_argument("--model", type=str, default="all",
+                   choices=("all", "yolact", "mask_rcnn"))
     p.add_argument("--batch", type=int, default=1,
-                   help="inference batch size (default 1 = the reference's "
-                        "get_FPS protocol; larger batches amortize dispatch)")
+                   help="inference batch size for single-model runs "
+                        "(--model all always measures yolact b1+b16 and "
+                        "mask_rcnn b1)")
     p.add_argument("--iters", type=int, default=100)
     return p.parse_args(argv)
 
 
-def main():
-    import os
+def _init_on_cpu(model, shape, mixed_precision: bool):
+    """Init on host CPU (a throwaway random net); f32 clone — the init
+    graph compiles pathologically slowly via the TPU remote path, and
+    bf16 init compiles ~8x slower on CPU."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    image_h = np.random.RandomState(0).randn(*shape).astype(np.float32)
+    with jax.default_device(jax.devices("cpu")[0]):
+        init_model = model.clone(dtype=jnp.float32) if mixed_precision \
+            else model
+        variables = init_model.init({"params": jax.random.key(0)}, image_h,
+                                    train=False)
+    return image_h, variables
 
+
+def _pin(tree):
+    import jax
+
+    from instancesegmentation_tpu.utils.device import pin_to_device
+    return pin_to_device(jax.device_put(tree, jax.devices()[0]))
+
+
+def _timed(infer, variables, image, iters, sync):
+    """get_FPS loop. Timing must end with a host materialization of a
+    SCALAR: on the tunneled backend block_until_ready acks dispatch, not
+    completion, and np.asarray of a large output measures the tunnel."""
+    out = infer(variables, image)
+    sync(out)
+    for _ in range(5):
+        out = infer(variables, image)
+    sync(out)
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        out = infer(variables, image)
+    sync(out)
+    return (time.perf_counter() - t0) / iters
+
+
+def bench_yolact(batch: int, iters: int) -> float:
     import jax
     import numpy as np
+
+    from instancesegmentation_tpu.config import get_config
+    from instancesegmentation_tpu.models import get_model
+    from instancesegmentation_tpu.models.yolact.predict import make_infer_fn
+    from instancesegmentation_tpu.ops.anchors import yolact_anchors
+
+    cfg = get_config("yolact_base", mixed_precision=True)
+    model = get_model(cfg, train_mode=False)
+    image_h, variables = _init_on_cpu(
+        model, (batch,) + tuple(cfg.input_shape) + (3,), cfg.mixed_precision)
+    image, variables = _pin(image_h), _pin(variables)
+    anchors = yolact_anchors(cfg.input_shape, cfg.anchors_size)
+    infer = jax.jit(make_infer_fn(model, anchors, cfg.confidence,
+                                  cfg.nms_iou, cfg.top_k,
+                                  cfg.max_detections))
+
+    def sync(o):
+        return float(np.asarray(o.scores).ravel()[0])
+
+    dt = _timed(infer, variables, image, iters, sync)
+    return batch / dt
+
+
+def bench_mask_rcnn(batch: int, iters: int) -> float:
+    import jax
+    import numpy as np
+
+    from instancesegmentation_tpu.config import get_config
+    from instancesegmentation_tpu.models import get_model
+    from instancesegmentation_tpu.models.mask_rcnn.meta import \
+        make_mask_rcnn_infer_fn
+
+    cfg = get_config("mask_rcnn_base", mixed_precision=True)
+    model = get_model(cfg, train_mode=False)
+    image_h, variables = _init_on_cpu(
+        model, (batch,) + tuple(cfg.input_shape) + (3,), cfg.mixed_precision)
+    image, variables = _pin(image_h), _pin(variables)
+    infer = jax.jit(make_mask_rcnn_infer_fn(
+        model, cfg, max_det=cfg.max_detections, nms_thresh=cfg.eval_nms_iou))
+
+    def sync(o):
+        return float(np.asarray(o[0].scores).ravel()[0])
+
+    dt = _timed(infer, variables, image, iters, sync)
+    return batch / dt
+
+
+def main():
+    import jax
 
     # persistent compile cache: TPU remote compiles are expensive
     jax.config.update("jax_compilation_cache_dir",
@@ -47,62 +141,35 @@ def main():
                                      "/root/.cache/jax_bench"))
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
-    from instancesegmentation_tpu.config import get_config
-    from instancesegmentation_tpu.models import get_model
-    from instancesegmentation_tpu.models.yolact.predict import make_infer_fn
-    from instancesegmentation_tpu.ops.anchors import yolact_anchors
-
     args = parse_args()
-    cfg = get_config("yolact_base", mixed_precision=True)
-    model = get_model(cfg, train_mode=False)
-    rng = jax.random.key(0)
-    # init on host CPU (a throwaway random net); only the inference graph
-    # is compiled for the accelerator
-    import jax.numpy as jnp
-    with jax.default_device(jax.devices("cpu")[0]):
-        image_h = np.random.RandomState(0).randn(
-            args.batch, *cfg.input_shape, 3).astype(np.float32)
-        init_model = (model.clone(dtype=jnp.float32)
-                      if cfg.mixed_precision else model)
-        variables = init_model.init({"params": rng}, image_h, train=False)
-    from instancesegmentation_tpu.utils.device import pin_to_device
-    device = jax.devices()[0]
-    # pin: device_put buffers stay host-backed on the tunneled backend and
-    # re-upload per call (utils/device.py)
-    image = pin_to_device(jax.device_put(image_h, device))
-    variables = pin_to_device(jax.device_put(variables, device))
 
-    anchors = yolact_anchors(cfg.input_shape, cfg.anchors_size)
-    infer = jax.jit(make_infer_fn(model, anchors, cfg.confidence,
-                                  cfg.nms_iou, cfg.top_k, cfg.max_detections))
+    def row(metric, fps, baseline):
+        return {"metric": metric, "value": round(fps, 2), "unit": "img/s",
+                "vs_baseline": round(fps / baseline, 3)}
 
-    def sync(o):
-        # host materialization: on the tunneled backend block_until_ready
-        # returns at dispatch-ack, NOT completion — only a D2H forces the
-        # stream to drain
-        return float(np.asarray(o.scores).ravel()[0])
+    if args.model == "yolact":
+        fps = bench_yolact(args.batch, args.iters)
+        suffix = "" if args.batch == 1 else f"_b{args.batch}"
+        print(json.dumps(row(f"yolact_r50_544_infer_fps{suffix}", fps,
+                             YOLACT_BASELINE_FPS)))
+        return 0
+    if args.model == "mask_rcnn":
+        fps = bench_mask_rcnn(args.batch, args.iters)
+        suffix = "" if args.batch == 1 else f"_b{args.batch}"
+        print(json.dumps(row(f"mask_rcnn_r50_544_infer_fps{suffix}", fps,
+                             MASK_RCNN_BASELINE_FPS)))
+        return 0
 
-    # compile + warmup
-    out = infer(variables, image)
-    sync(out)
-    for _ in range(5):
-        out = infer(variables, image)
-    sync(out)
-
-    t0 = time.perf_counter()
-    for _ in range(args.iters):
-        out = infer(variables, image)
-    sync(out)
-    dt = (time.perf_counter() - t0) / args.iters
-
-    fps = args.batch / dt
-    suffix = "" if args.batch == 1 else f"_b{args.batch}"
-    print(json.dumps({
-        "metric": f"yolact_r50_544_infer_fps{suffix}",
-        "value": round(fps, 2),
-        "unit": "img/s",
-        "vs_baseline": round(fps / BASELINE_FPS, 3),
-    }))
+    # --model all: headline + extra metrics in one line
+    fps_b1 = bench_yolact(1, args.iters)
+    fps_b16 = bench_yolact(16, max(args.iters // 4, 25))
+    fps_rcnn = bench_mask_rcnn(1, args.iters)
+    out = row("yolact_r50_544_infer_fps", fps_b1, YOLACT_BASELINE_FPS)
+    out["extra_metrics"] = [
+        row("yolact_r50_544_infer_fps_b16", fps_b16, YOLACT_BASELINE_FPS),
+        row("mask_rcnn_r50_544_infer_fps", fps_rcnn, MASK_RCNN_BASELINE_FPS),
+    ]
+    print(json.dumps(out))
     return 0
 
 

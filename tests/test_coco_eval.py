@@ -176,3 +176,104 @@ def test_loadres_multiregion_rle_area():
     res2 = gt.loadRes([{"image_id": 1, "category_id": 1, "score": 0.9,
                         "bbox": [10, 10, 10, 10], "area": 5.0}])
     assert res2.dataset["annotations"][0]["area"] == pytest.approx(100.0)
+
+
+# ---------------------------------------------------------------------------
+# Protocol-invariance properties (drift guards: pycocotools is absent in
+# this image, so these pin the published protocol's structural behaviors)
+# ---------------------------------------------------------------------------
+
+
+def test_score_monotone_transform_invariance():
+    """AP depends only on score RANKS: any strictly monotone transform of
+    the scores must leave every stat unchanged."""
+    gt = _gt({1: [(10, 10, 30, 40, 1), (60, 60, 20, 20, 2)],
+              2: [(5, 5, 40, 40, 1)]})
+    dets = [_det(1, 10, 10, 30, 40, 1, 0.9),
+            _det(1, 58, 60, 22, 20, 2, 0.6),
+            _det(2, 5, 8, 40, 37, 1, 0.4),
+            _det(2, 50, 50, 20, 20, 1, 0.2)]
+    base = _run(gt, [dict(d) for d in dets])
+    squeezed = []
+    for d in dets:
+        d2 = dict(d)
+        d2["score"] = 0.05 + 0.01 * d["score"] ** 3     # monotone
+        squeezed.append(d2)
+    trans = _run(gt, squeezed)
+    np.testing.assert_allclose(np.nan_to_num(base, nan=-1),
+                               np.nan_to_num(trans, nan=-1))
+
+
+def test_duplicate_detections_never_raise_ap():
+    """Duplicating detections adds unmatched FPs: AP must be monotonically
+    non-increasing in the number of duplicates. Trailing dups (below the
+    last TP's score) leave AP EXACTLY unchanged — interpolated precision
+    takes the max over operating points at recall >= r, and recall already
+    saturated — while a dup interleaved BEFORE a TP strictly lowers AP."""
+    gt = _gt({1: [(10, 10, 30, 40, 1)]})
+    dets = [_det(1, 10, 10, 30, 40, 1, 0.9)]
+    base = _run(gt, [dict(d) for d in dets])
+    assert base[0] == pytest.approx(1.0)
+    dup = [dict(dets[0])]
+    prev = base[0]
+    for k in range(1, 4):
+        d2 = dict(dets[0])
+        d2["score"] = 0.9 - 0.1 * k
+        dup.append(d2)
+        ap = _run(gt, [dict(d) for d in dup])[0]
+        assert ap <= prev + 1e-9, (k, ap, prev)
+        prev = ap
+    # trailing dups: recall hit 1.0 at rank 1, so interpolated AP is intact
+    assert prev == pytest.approx(base[0])
+
+    # interleaved dup: TP(gt1)@0.9, dup-FP@0.8, TP(gt2)@0.7 — the second
+    # half of the recall range now carries precision 2/3 < 1
+    gt2 = _gt({1: [(10, 10, 30, 40, 1), (60, 60, 20, 20, 1)]})
+    clean = [_det(1, 10, 10, 30, 40, 1, 0.9),
+             _det(1, 60, 60, 20, 20, 1, 0.7)]
+    ap_clean = _run(gt2, [dict(d) for d in clean])[0]
+    mid_dup = clean[:1] + [dict(clean[0], score=0.8)] + clean[1:]
+    ap_dup = _run(gt2, [dict(d) for d in mid_dup])[0]
+    assert ap_clean == pytest.approx(1.0)
+    assert ap_dup < ap_clean - 1e-6
+
+
+def test_crowd_gt_never_counts_as_fp():
+    """A detection overlapping only a CROWD gt is IGNORED, not a false
+    positive (the crowd re-match semantics): AP for the non-crowd gt must
+    be unaffected by the extra crowd-hitting detection."""
+    hw = (100, 100)
+    images = [{"id": 1, "height": 100, "width": 100, "file_name": "1.png"}]
+    m_normal = np.zeros(hw, np.uint8)
+    m_normal[10:50, 10:40] = 1
+    m_crowd = np.zeros(hw, np.uint8)
+    m_crowd[60:95, 60:95] = 1
+    anns = [
+        {"id": 1, "image_id": 1, "category_id": 1, "bbox": [10, 10, 30, 40],
+         "area": 1200, "iscrowd": 0, "segmentation": rle.encode(m_normal)},
+        {"id": 2, "image_id": 1, "category_id": 1, "bbox": [60, 60, 35, 35],
+         "area": 1225, "iscrowd": 1, "segmentation": rle.encode(m_crowd)},
+    ]
+    gt = COCO({"images": images, "annotations": anns,
+               "categories": [{"id": 1, "name": "a"}, {"id": 2, "name": "b"}]})
+    clean = [_det(1, 10, 10, 30, 40, 1, 0.9)]
+    with_crowd_hit = clean + [_det(1, 62, 62, 30, 30, 1, 0.5)]
+    for iou_type in ("bbox", "segm"):
+        ap_clean = _run(gt, [dict(d) for d in clean], iou_type)[0]
+        ap_crowd = _run(gt, [dict(d) for d in with_crowd_hit], iou_type)[0]
+        assert ap_clean == pytest.approx(1.0)
+        assert ap_crowd == pytest.approx(ap_clean), iou_type
+
+
+def test_ar_monotone_in_maxdets():
+    """AR@maxDets=1 <= AR@maxDets=10 <= AR@maxDets=100 (truncation can
+    only lose recall). Stats 6/7/8 are AR at maxDets 1/10/100."""
+    gt = _gt({1: [(10, 10, 30, 40, 1), (60, 60, 20, 20, 1),
+                  (5, 60, 20, 30, 1)]})
+    dets = [_det(1, 10, 10, 30, 40, 1, 0.9),
+            _det(1, 60, 61, 20, 19, 1, 0.7),
+            _det(1, 5, 60, 20, 30, 1, 0.5)]
+    stats = _run(gt, dets)
+    ar1, ar10, ar100 = stats[6], stats[7], stats[8]
+    assert ar1 <= ar10 + 1e-9 and ar10 <= ar100 + 1e-9, (ar1, ar10, ar100)
+    assert ar1 < ar100          # 3 gts, top-1 truncation must lose recall
