@@ -20,6 +20,10 @@ import jax.numpy as jnp
 def _refresh(x):
     """Identity that XLA cannot alias away to the (host-backed) input."""
     x = jnp.asarray(x)
+    if jnp.issubdtype(x.dtype, jax.dtypes.prng_key):
+        data = jax.random.key_data(x)
+        return jax.random.wrap_key_data(data + jnp.zeros((), data.dtype),
+                                        impl=jax.random.key_impl(x))
     if x.dtype == jnp.bool_:
         return jnp.logical_not(jnp.logical_not(x))
     return x + jnp.zeros((), x.dtype)

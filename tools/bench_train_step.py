@@ -1,0 +1,115 @@
+#!/usr/bin/env python
+"""Isolated train-step benchmark (real TPU): fwd+loss+bwd+optimizer+EMA,
+donated state, pinned buffers, synthetic batch — the same jitted program
+the trainer runs, without the data loader.
+
+  python tools/bench_train_step.py --config yolact_base --batch 8
+  python tools/bench_train_step.py --config mask_rcnn_base --batch 4 \
+      --trace /tmp/trace_rcnn
+
+With --trace, iterations 3..8 run under jax.profiler.trace for per-op
+attribution (view op totals with tools/trace_summary.py).
+"""
+
+import argparse
+import time
+
+import numpy as np
+
+
+def make_batch(cfg, batch):
+    import jax.numpy as jnp
+    h, w = cfg.input_shape
+    g = cfg.max_instances
+    rs = np.random.RandomState(0)
+    boxes = np.zeros((batch, g, 4), np.float32)
+    xy = rs.uniform(0.1, 0.6, (batch, g, 2))
+    wh = rs.uniform(0.1, 0.35, (batch, g, 2))
+    boxes[..., :2] = xy
+    boxes[..., 2:] = np.minimum(xy + wh, 0.99)
+    out = {
+        "image": rs.randn(batch, h, w, 3).astype(np.float32),
+        "boxes": boxes,
+        "labels": rs.randint(0, cfg.num_classes, (batch, g)).astype(np.int32),
+        "valid": np.ones((batch, g), bool),
+        "is_crowd": np.zeros((batch, g), bool),
+    }
+    if cfg.net == "yolact":
+        ph, pw = h // 4, w // 4
+        out["masks"] = (rs.rand(batch, g, ph, pw) > 0.7).astype(np.float32)
+    else:
+        out["masks"] = (rs.rand(batch, g, h, w) > 0.7).astype(np.uint8)
+    return {k: jnp.asarray(v) for k, v in out.items()}
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--config", default="yolact_base")
+    ap.add_argument("--batch", type=int, default=8)
+    ap.add_argument("--iters", type=int, default=30)
+    ap.add_argument("--trace", default="")
+    ap.add_argument("--f32", action="store_true")
+    args = ap.parse_args()
+
+    import jax
+
+    jax.config.update("jax_compilation_cache_dir", "/root/.cache/jax_bench")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+    from instancesegmentation_tpu.config import get_config
+    from instancesegmentation_tpu.models import get_model
+    from instancesegmentation_tpu.ops.anchors import yolact_anchors
+    from instancesegmentation_tpu.train.state import (create_train_state,
+                                                      make_phase_optimizer)
+    from instancesegmentation_tpu.train.steps import (
+        make_mask_rcnn_train_step, make_yolact_train_step)
+    from instancesegmentation_tpu.utils.device import pin_to_device
+
+    cfg = get_config(args.config, mixed_precision=not args.f32)
+    model = get_model(cfg, train_mode=True)
+    batch = make_batch(cfg, args.batch)
+
+    rng = jax.random.key(0)
+    sample = np.zeros((1,) + tuple(cfg.input_shape) + (3,), np.float32)
+    state = create_train_state(model, cfg, rng, sample, lr=1e-4,
+                               frozen_backbone=False)
+    tx = make_phase_optimizer(cfg, 1e-4, False, state.params)
+
+    if cfg.net == "yolact":
+        anchors = yolact_anchors(cfg.input_shape, cfg.anchors_size)
+        step_fn = make_yolact_train_step(model, tx, anchors, cfg)
+    else:
+        step_fn = make_mask_rcnn_train_step(model, tx, cfg)
+    step = jax.jit(step_fn, donate_argnums=0)
+
+    dev = jax.devices()[0]
+    state = pin_to_device(jax.device_put(state, dev))
+    batch = pin_to_device(jax.device_put(batch, dev))
+    rng = pin_to_device(jax.device_put(rng, dev))
+
+    t0 = time.perf_counter()
+    state, metrics = step(state, batch, rng)
+    print(f"compile+first step: {time.perf_counter() - t0:.1f}s  "
+          f"total={float(metrics['total']):.3f}")
+    for _ in range(3):
+        state, metrics = step(state, batch, rng)
+    float(np.asarray(metrics["total"]))
+
+    if args.trace:
+        with jax.profiler.trace(args.trace):
+            for _ in range(6):
+                state, metrics = step(state, batch, rng)
+            float(np.asarray(metrics["total"]))
+        print(f"trace written to {args.trace}")
+
+    t0 = time.perf_counter()
+    for _ in range(args.iters):
+        state, metrics = step(state, batch, rng)
+    float(np.asarray(metrics["total"]))   # host sync (axon dispatch-ack)
+    dt = (time.perf_counter() - t0) / args.iters
+    print(f"{cfg.net} {cfg.input_shape} b{args.batch}: "
+          f"{dt * 1e3:.1f} ms/step = {args.batch / dt:.1f} img/s")
+
+
+if __name__ == "__main__":
+    main()
