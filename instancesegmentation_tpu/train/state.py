@@ -15,7 +15,8 @@ Reference counterparts:
 
 from __future__ import annotations
 
-from typing import Any, Dict, Optional
+import os
+from typing import Any, Dict, NamedTuple, Optional
 
 import flax
 import jax
@@ -53,6 +54,127 @@ def make_optimizer(optimizer_type: str, momentum: float, weight_decay: float,
                 optax.sgd(learning_rate, momentum=momentum, nesterov=True))
         raise ValueError(f"unknown optimizer {optimizer_type!r}")
     return optax.inject_hyperparams(base)(learning_rate=lr)
+
+
+class FusedOptState(NamedTuple):
+    """State of :class:`FusedTx`. ``hyperparams`` mirrors
+    ``optax.inject_hyperparams`` so :func:`set_learning_rate` /
+    :func:`get_learning_rate` work unchanged."""
+    count: jnp.ndarray            # () int32 — reset at each phase switch
+    mu: Any                       # first moment / momentum buffer tree
+    nu: Any                       # second moment tree (adam) or {} (sgd)
+    hyperparams: Dict[str, jnp.ndarray]
+
+
+class FusedTx:
+    """Single-pass fused optimizer + EMA update.
+
+    The optax path (``inject_hyperparams(chain(add_decayed_weights,
+    adam))`` + ``apply_updates`` + ``ema_update``) walks the 123 MB
+    (YOLACT) parameter memory ~5 times in separate fused kernels —
+    measured 6-10 ms/step on a v5e, vs a 2.25 ms floor for one fused
+    pass at 492 GB/s (tools/bench_optimizer.py). This class computes
+    exactly the same math — per leaf: L2 weight decay on the gradient,
+    adam/adamw/sgd-nesterov moments + parameter update, and the EMA blend
+    — in ONE ``tree_map`` so XLA emits one read-modify-write kernel per
+    leaf and donation keeps every buffer in place.
+
+    Numerical parity with the optax chain is asserted by
+    tests/test_train_state.py (adam, adamw, sgd, frozen labels, LR swap).
+
+    Frozen leaves (``multi_transform`` + ``set_to_zero`` semantics in the
+    optax path) are compile-time identity branches: params/moments pass
+    through untouched; EMA still tracks them, matching the unfused order
+    (ema_update runs over the full tree after apply_updates).
+    """
+
+    def __init__(self, optimizer_type: str, momentum: float,
+                 weight_decay: float, lr: float, labels=None):
+        if optimizer_type not in ("adam", "adamw", "sgd"):
+            raise ValueError(f"unknown optimizer {optimizer_type!r}")
+        self.kind = optimizer_type
+        self.momentum = float(momentum)
+        self.weight_decay = float(weight_decay)
+        self.lr0 = float(lr)
+        self.labels = labels          # tree of 'train'/'frozen', or None
+
+    # -- optax-compatible surface -------------------------------------
+    def init(self, params) -> FusedOptState:
+        zeros = jax.tree_util.tree_map(jnp.zeros_like, params)
+        nu = (jax.tree_util.tree_map(jnp.zeros_like, params)
+              if self.kind in ("adam", "adamw") else {})
+        return FusedOptState(
+            count=jnp.zeros((), jnp.int32), mu=zeros, nu=nu,
+            hyperparams={"learning_rate": jnp.asarray(self.lr0,
+                                                      jnp.float32)})
+
+    # -- the fused step ------------------------------------------------
+    def apply_fused(self, grads, opt_state: FusedOptState, params,
+                    ema_params, step, ema_decay: float, ema_tau: float):
+        """(new_params, new_opt_state, new_ema_params) in one pass.
+
+        ``step`` is the GLOBAL train step (drives the EMA ramp,
+        utils/helpers.py:50-60); ``opt_state.count`` is the per-phase
+        update count (drives adam bias correction — the trainer re-inits
+        the optimizer at the freeze->unfreeze switch while step runs on).
+        """
+        lr = opt_state.hyperparams["learning_rate"].astype(jnp.float32)
+        cnt = opt_state.count + 1
+        b1, b2, eps = self.momentum, 0.999, 1e-8
+        wd, kind = self.weight_decay, self.kind
+        if kind in ("adam", "adamw"):
+            c = cnt.astype(jnp.float32)
+            bc1 = 1.0 - b1 ** c          # optax scale_by_adam bias corr.
+            bc2 = 1.0 - b2 ** c
+        has_ema = ema_params is not None
+        if has_ema:
+            d = ema_decay * (1.0 - jnp.exp(
+                -step.astype(jnp.float32) / ema_tau))
+
+        def leaf(label, p, m, v, g, e):
+            if label == "frozen":     # static branch: compile-time no-op
+                return p, m, v, (e * d + p.astype(e.dtype) * (1.0 - d)
+                                 if has_ema else e)
+            if kind == "adam" and wd:
+                g = g + wd * p        # L2-on-gradient (torch Adam)
+            elif kind == "sgd" and wd:
+                g = g + wd * p
+            if kind in ("adam", "adamw"):
+                m = b1 * m + (1.0 - b1) * g
+                v = b2 * v + (1.0 - b2) * jnp.square(g)
+                upd = (m / bc1) / (jnp.sqrt(v / bc2) + eps)
+                if kind == "adamw" and wd:
+                    upd = upd + wd * p
+            else:                     # sgd + nesterov (optax trace)
+                m = g + self.momentum * m
+                upd = g + self.momentum * m
+            p = p - lr * upd
+            if has_ema:
+                e = e * d + p.astype(e.dtype) * (1.0 - d)
+            return p, m, v, e
+
+        labels = self.labels if self.labels is not None else \
+            jax.tree_util.tree_map(lambda _: "train", params)
+        nu = opt_state.nu if kind in ("adam", "adamw") else \
+            jax.tree_util.tree_map(lambda _: jnp.zeros((), jnp.float32),
+                                   params)
+        ema = ema_params if has_ema else \
+            jax.tree_util.tree_map(lambda _: jnp.zeros((), jnp.float32),
+                                   params)
+        tups = jax.tree_util.tree_map(
+            lambda lab, p, m, v, g, e: leaf(lab, p, m, v, g, e),
+            labels, params, opt_state.mu, nu, grads, ema)
+        outer = jax.tree_util.tree_structure(params)
+        inner = jax.tree_util.tree_structure((0, 0, 0, 0))
+        new_p, new_m, new_v, new_e = jax.tree_util.tree_transpose(
+            outer, inner, tups)
+        new_state = FusedOptState(
+            count=cnt, mu=new_m,
+            nu=new_v if kind in ("adam", "adamw") else {},
+            hyperparams=dict(opt_state.hyperparams))
+        new_state.hyperparams["learning_rate"] = \
+            opt_state.hyperparams["learning_rate"]
+        return new_p, new_state, (new_e if has_ema else None)
 
 
 _BN_NAMES = ("bn1", "bn2", "bn3", "down_bn")
@@ -94,21 +216,32 @@ def backbone_trainability(params, frozen_backbone: bool, net: str = "yolact",
     return flax.traverse_util.unflatten_dict(labels)
 
 
-def make_phase_optimizer(cfg, lr: float, frozen_backbone: bool, params
-                         ) -> optax.GradientTransformation:
-    inner = make_optimizer(cfg.optimizer_type, cfg.momentum,
-                           cfg.weight_decay, lr)
+def make_phase_optimizer(cfg, lr: float, frozen_backbone: bool, params,
+                         fused: Optional[bool] = None):
+    """Phase optimizer. Default: the fused single-pass update (FusedTx).
+
+    ``INSTSEG_FUSED_OPT=0`` (or fused=False) falls back to the optax
+    chain — the numerical reference the fused path is tested against.
+    NOTE: optax.flatten was also tried and measured SLOWER (36.2 vs
+    34.7 ms/step, YOLACT 544^2 b8) — ravel/unravel copies defeat XLA's
+    in-place buffer donation of m/v/params; FusedTx instead fuses the
+    passes without changing buffer shapes.
+    """
+    if fused is None:
+        fused = os.environ.get("INSTSEG_FUSED_OPT", "1") != "0"
     labels = backbone_trainability(
         params, frozen_backbone, net=cfg.net,
         trainable_layers=(cfg.trainable_layers if cfg.net == "mask_rcnn"
                           else 5),
         frozen_bn=cfg.frozen_bn)
     flat = flax.traverse_util.flatten_dict(labels)
-    if all(v == "train" for v in flat.values()):
-        # NOTE: optax.flatten was tried here to collapse the per-tensor
-        # adam fusions into one vector op and measured SLOWER (36.2 vs
-        # 34.7 ms/step, YOLACT 544^2 b8) — the ravel/unravel copies defeat
-        # XLA's in-place buffer donation of m/v/params.
+    all_train = all(v == "train" for v in flat.values())
+    if fused and cfg.optimizer_type in ("adam", "adamw", "sgd"):
+        return FusedTx(cfg.optimizer_type, cfg.momentum, cfg.weight_decay,
+                       lr, labels=None if all_train else labels)
+    inner = make_optimizer(cfg.optimizer_type, cfg.momentum,
+                           cfg.weight_decay, lr)
+    if all_train:
         return inner
     return optax.multi_transform(
         {"train": inner, "frozen": optax.set_to_zero()}, labels)

@@ -19,14 +19,62 @@ import jax.numpy as jnp
 import optax
 
 from instancesegmentation_tpu.models.yolact.loss import multi_loss
-from instancesegmentation_tpu.train.state import TrainState, ema_update
+from instancesegmentation_tpu.train.state import (TrainState,
+                                                  backbone_trainability,
+                                                  ema_update)
 
 
-def make_yolact_train_step(model, tx, anchors, cfg):
+def _freeze_guard(params, cfg, frozen_backbone: bool):
+    """Per-leaf ``stop_gradient`` on frozen params — the torch
+    ``requires_grad=False`` equivalent (nets/yolact.py:207-213,
+    resnet50_fpn_model.py:163-180).
+
+    The optimizer already zeroes frozen updates, but zeroing AFTER
+    ``value_and_grad`` still pays for the frozen backward: for Mask R-CNN
+    (conv1+layer1 permanently frozen, FrozenBN affine everywhere in the
+    backbone) that is the entire lower-backbone filter/input-gradient
+    chain computed and thrown away every step. ``stop_gradient`` gives
+    those leaves symbolic-zero cotangents, so JAX's transpose pass prunes
+    the dead backward ops at trace time — same numbers, less graph.
+    """
+    labels = backbone_trainability(
+        params, frozen_backbone, net=cfg.net,
+        trainable_layers=(cfg.trainable_layers if cfg.net == "mask_rcnn"
+                          else 5),
+        frozen_bn=cfg.frozen_bn)
+    if all(v == "train" for v in
+           jax.tree_util.tree_leaves(labels)):
+        return params
+    return jax.tree_util.tree_map(
+        lambda lab, p: jax.lax.stop_gradient(p) if lab == "frozen" else p,
+        labels, params)
+
+
+def _apply_update(tx, grads, state: TrainState, cfg):
+    """Optimizer + EMA: fused single-pass when tx is a FusedTx (one
+    read-modify-write kernel per leaf, ~2.3 vs 6-10 ms/step on v5e —
+    tools/bench_optimizer.py), optax chain otherwise."""
+    step = state.step + 1
+    if hasattr(tx, "apply_fused"):
+        new_params, new_opt, ema = tx.apply_fused(
+            grads, state.opt_state, state.params, state.ema_params,
+            step, cfg.ema_decay, cfg.ema_tau)
+    else:
+        updates, new_opt = tx.update(grads, state.opt_state, state.params)
+        new_params = optax.apply_updates(state.params, updates)
+        ema = state.ema_params
+        if ema is not None:
+            ema = ema_update(ema, new_params, step, cfg.ema_decay,
+                             cfg.ema_tau)
+    return step, new_params, new_opt, ema
+
+
+def make_yolact_train_step(model, tx, anchors, cfg, frozen_backbone=False):
     """Returns train_step(state, batch, rng) -> (state, metrics)."""
     anchors = jnp.asarray(anchors)
 
-    def loss_fn(params, batch_stats, batch, rng):
+    def loss_fn(raw_params, batch_stats, batch, rng):
+        params = _freeze_guard(raw_params, cfg, frozen_backbone)
         variables = {"params": params, "batch_stats": batch_stats}
         outputs, mutated = model.apply(variables, batch["image"], train=True,
                                        mutable=["batch_stats"])
@@ -49,12 +97,7 @@ def make_yolact_train_step(model, tx, anchors, cfg):
         (total, (losses, new_stats)), grads = jax.value_and_grad(
             loss_fn, has_aux=True)(state.params, state.batch_stats,
                                    batch, step_rng)
-        updates, new_opt = tx.update(grads, state.opt_state, state.params)
-        new_params = optax.apply_updates(state.params, updates)
-        step = state.step + 1
-        ema = state.ema_params
-        if ema is not None:
-            ema = ema_update(ema, new_params, step, cfg.ema_decay, cfg.ema_tau)
+        step, new_params, new_opt, ema = _apply_update(tx, grads, state, cfg)
         new_state = TrainState(step=step, params=new_params,
                                batch_stats=new_stats, opt_state=new_opt,
                                ema_params=ema)
@@ -65,25 +108,24 @@ def make_yolact_train_step(model, tx, anchors, cfg):
     return train_step
 
 
-def make_mask_rcnn_train_step(model, tx, cfg):
+def make_mask_rcnn_train_step(model, tx, cfg, frozen_backbone=False):
     """Mask R-CNN training step (loss dict summed, fit_mask_rcnn
     models/script.py:147-216 semantics: loss computed inside the network
     graph, grads through the sharded step)."""
     from instancesegmentation_tpu.models.mask_rcnn.meta import \
         make_mask_rcnn_train_fns
-    loss_fn = make_mask_rcnn_train_fns(model, cfg, train=True)
+    inner_loss = make_mask_rcnn_train_fns(model, cfg, train=True)
+
+    def loss_fn(raw_params, batch_stats, batch, rng):
+        return inner_loss(_freeze_guard(raw_params, cfg, frozen_backbone),
+                          batch_stats, batch, rng)
 
     def train_step(state: TrainState, batch, rng):
         step_rng = jax.random.fold_in(rng, state.step)   # on-device fold
         (total, (losses, new_stats)), grads = jax.value_and_grad(
             loss_fn, has_aux=True)(state.params, state.batch_stats,
                                    batch, step_rng)
-        updates, new_opt = tx.update(grads, state.opt_state, state.params)
-        new_params = optax.apply_updates(state.params, updates)
-        step = state.step + 1
-        ema = state.ema_params
-        if ema is not None:
-            ema = ema_update(ema, new_params, step, cfg.ema_decay, cfg.ema_tau)
+        step, new_params, new_opt, ema = _apply_update(tx, grads, state, cfg)
         new_state = TrainState(step=step, params=new_params,
                                batch_stats=new_stats, opt_state=new_opt,
                                ema_params=ema)

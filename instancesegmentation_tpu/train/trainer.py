@@ -193,12 +193,14 @@ class Trainer:
     def _build_steps(self):
         if self.cfg.net == "yolact":
             train_step = make_yolact_train_step(self.model, self.tx,
-                                                self.anchors, self.cfg)
+                                                self.anchors, self.cfg,
+                                                frozen_backbone=self.frozen)
             eval_step = make_yolact_eval_step(self.model, self.anchors,
                                               self.cfg, use_ema=self.cfg.ema)
         else:
             train_step = make_mask_rcnn_train_step(self.model, self.tx,
-                                                   self.cfg)
+                                                   self.cfg,
+                                                   frozen_backbone=self.frozen)
             eval_step = make_mask_rcnn_eval_step(self.model, self.cfg,
                                                  use_ema=self.cfg.ema)
         self.train_step = jax.jit(train_step, donate_argnums=0)
