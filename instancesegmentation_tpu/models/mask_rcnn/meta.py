@@ -47,26 +47,84 @@ MASK_ROIS_PER_IMAGE = 128     # = 512 * positive_fraction 0.25
 ROI_SCALES = (0.25, 0.125, 0.0625, 0.03125)   # P2..P5
 
 
+def _roi_backend() -> str:
+    """RoIAlign implementation choice (INSTSEG_ROI_BACKEND overrides).
+
+    'separable' (default): the one-hot jnp matmul form — under the
+    model's vmap XLA batches its einsums to effective M = B*R*oh MXU
+    rows and fuses the operator construction.
+    'sorted': the level-sorted batched Pallas kernel
+    (ops/pallas/roi_align_sorted.py) — each roi computed once at its own
+    level, VMEM-resident backward accumulator. Wins STANDALONE (11.8 vs
+    13.1 ms fwd+bwd, 544^2 b4 box-head shapes) but is a wash in the full
+    train step (59.8 vs 59.4 ms/step with the small-R threshold; 69.6
+    with every call sorted): the level padding (+rb slots/level) feeds
+    12-60% more rois through the box/mask heads, and the standalone win
+    is ~1.3 ms while surrounding-graph interaction costs eat it. Kept as
+    a tested option; the A/B story lives in docs/PERF_NOTES.md round 3.
+    'pallas': the round-2 per-level kernel (kept golden-tested)."""
+    import os
+    return os.environ.get("INSTSEG_ROI_BACKEND", "") or "separable"
+
+
 def multiscale_roi_align(feats, rois, out_size, spatial_scales,
                          aligned=False):
-    """MultiScaleRoIAlign dispatch. Default: the jnp separable-matmul form
-    — under the model's vmap, XLA batches its einsums to effective
-    M = B*R*oh MXU rows and fuses the operator construction, measured
-    FASTER end-to-end than the hand-written Pallas kernel (544^2 b4 train:
-    59.1 vs 69.7 ms/step; the kernel's per-block matmuls top out at ~42
-    rows). INSTSEG_ROI_BACKEND=pallas opts into the kernel (custom VJP),
-    which wins for standalone non-vmapped calls (3.0 vs 9.0 ms single
-    level). Both are exactly-equal implementations of torchvision
-    roi_align; gather forms were also measured and are 2-8x slower on
-    this chip (row-gather ~26 GB/s effective)."""
-    import os
-    if os.environ.get("INSTSEG_ROI_BACKEND", "") == "pallas":
+    """Per-image MultiScaleRoIAlign dispatch (vmapped callers). The
+    round-2 A/B: the jnp separable form beats the per-level Pallas kernel
+    under vmap (544^2 b4 train 59.1 vs 69.7 ms/step; the kernel's
+    per-block matmuls top out at ~42 MXU rows); gather forms are 2-8x
+    slower still (row-gather ~26 GB/s). The batched level-sorted kernel
+    (see _batched_roi_align) replaces this on the hot path."""
+    if _roi_backend() == "pallas":
         from instancesegmentation_tpu.ops.pallas.roi_align import \
             multiscale_roi_align_pallas
         return multiscale_roi_align_pallas(feats, rois, out_size,
                                            spatial_scales, aligned=aligned)
     return multiscale_roi_align_separable(feats, rois, out_size,
                                           spatial_scales, aligned=aligned)
+
+
+def _batched_roi_align(feats, rois, out_size, aligned):
+    """Batched dispatch: returns (roi_feats (B, S', oh, ow, C), perm
+    (B, S') or None, real (B, S') or None).
+
+    With the 'sorted' backend, roi features come back in LEVEL-SORTED
+    slot order (S' = Rpad >= S) and the caller must permute the per-roi
+    SIDE DATA with ``jnp.take_along_axis(x, perm, axis=1)`` and AND its
+    validity with ``real`` — the big feature tensor is never un-permuted
+    (a row gather of it runs ~26 GB/s on this chip; permuting targets is
+    free). Other backends return original order (perm is None).
+
+    The sorted kernel only pays off for LARGE roi counts (the box head's
+    512): its Rpad level padding (+rb per level) and per-block fixed
+    costs are amortized over many rois. For the mask head's 128 rois the
+    padding alone adds 25-60% slots of kernel+head compute — measured
+    slower than the separable form there. Small-R calls therefore stay
+    separable (threshold via INSTSEG_ROI_SORTED_MIN_R, default 256)."""
+    import os
+    r = rois.shape[1]
+    min_r = int(os.environ.get("INSTSEG_ROI_SORTED_MIN_R", "256"))
+    if _roi_backend() == "sorted" and r >= min_r:
+        import jax as _jax
+        from instancesegmentation_tpu.ops.pallas.roi_align_sorted import \
+            multiscale_roi_align_sorted
+        out = multiscale_roi_align_sorted(
+            list(feats), rois, out_size, ROI_SCALES, aligned=aligned,
+            rb=int(os.environ.get("INSTSEG_ROI_RB", "16")),
+            interpret=_jax.default_backend() != "tpu")
+        return out.feats, out.perm, out.real
+
+    def align_one(f2, f3, f4, f5, rr):
+        return multiscale_roi_align((f2, f3, f4, f5), rr, out_size,
+                                    ROI_SCALES, aligned=aligned)
+    o = jax.vmap(align_one)(feats[0], feats[1], feats[2], feats[3], rois)
+    return o, None, None
+
+
+def _permute_side(t, perm, extra_dims=0):
+    """take_along_axis on axis 1 with trailing broadcast dims."""
+    idx = perm.reshape(perm.shape + (1,) * extra_dims)
+    return jnp.take_along_axis(t, idx, axis=1)
 
 
 @lru_cache(maxsize=None)
@@ -136,11 +194,18 @@ def make_mask_rcnn_train_fns(model, cfg, train: bool = True):
             jax.random.split(r2, b))
 
         # ---- box head ---------------------------------------------------
-        def align_one(f2, f3, f4, f5, rois):
-            return multiscale_roi_align((f2, f3, f4, f5), rois, (7, 7),
-                                        ROI_SCALES, aligned=aligned)
-        box_feats = jax.vmap(align_one)(feats[0], feats[1], feats[2],
-                                        feats[3], sampled.rois)  # (B,S,7,7,C)
+        box_feats, perm, real = _batched_roi_align(
+            feats, sampled.rois, (7, 7), aligned)        # (B, S', 7, 7, C)
+        loss_sampled = sampled
+        if perm is not None:
+            # permute the small per-roi targets into slot order instead of
+            # un-permuting the big roi features (see _batched_roi_align)
+            loss_sampled = R.SampledRoIs(
+                rois=_permute_side(sampled.rois, perm, 1),
+                labels=_permute_side(sampled.labels, perm),
+                reg_targets=_permute_side(sampled.reg_targets, perm, 1),
+                matched_gt=_permute_side(sampled.matched_gt, perm),
+                valid=_permute_side(sampled.valid, perm) & real)
         s = box_feats.shape[1]
         cls_logits, box_deltas = model.apply(
             variables, box_feats.reshape(b * s, 7, 7, -1),
@@ -149,12 +214,14 @@ def make_mask_rcnn_train_fns(model, cfg, train: bool = True):
         box_deltas = box_deltas.reshape(b, s, -1, 4)
 
         cls_l, bx_l = jax.vmap(R.fastrcnn_loss)(cls_logits, box_deltas,
-                                                sampled)
+                                                loss_sampled)
         # torchvision reduces over the concatenated batch; our per-image
         # samplers emit equal counts, so the mean matches the global mean
         loss_cls, loss_box = jnp.mean(cls_l), jnp.mean(bx_l)
 
         # ---- mask branch -------------------------------------------------
+        # positives picked from the ORIGINAL order (rng pairing identical
+        # across roi-align backends)
         def pick_positives(smp, rng_i):
             pos = smp.valid & (smp.labels > 0)
             prio = jnp.where(pos, 1.0, 0.0) + jax.random.uniform(
@@ -166,11 +233,13 @@ def make_mask_rcnn_train_fns(model, cfg, train: bool = True):
         m_rois, m_labels, m_gt, m_valid = jax.vmap(pick_positives)(
             sampled, jax.random.split(r3, b))
 
-        def align14(f2, f3, f4, f5, rois):
-            return multiscale_roi_align((f2, f3, f4, f5), rois, (14, 14),
-                                        ROI_SCALES, aligned=aligned)
-        mask_feats = jax.vmap(align14)(feats[0], feats[1], feats[2],
-                                       feats[3], m_rois)
+        mask_feats, m_perm, m_real = _batched_roi_align(
+            feats, m_rois, (14, 14), aligned)
+        if m_perm is not None:
+            m_rois = _permute_side(m_rois, m_perm, 1)
+            m_labels = _permute_side(m_labels, m_perm)
+            m_gt = _permute_side(m_gt, m_perm)
+            m_valid = _permute_side(m_valid, m_perm) & m_real
         mm = mask_feats.shape[1]
         mask_logits = model.apply(
             variables, mask_feats.reshape(b * mm, 14, 14, -1),
@@ -213,11 +282,12 @@ def make_mask_rcnn_infer_fn(model, cfg, max_det: int = 100,
             post_nms_top_n=POST_NMS_TOPK_TEST),
             in_axes=(0, 0, None))(deltas, objectness, anchors)
 
-        def align7(f2, f3, f4, f5, rois):
-            return multiscale_roi_align((f2, f3, f4, f5), rois, (7, 7),
-                                        ROI_SCALES, aligned=aligned)
-        box_feats = jax.vmap(align7)(feats[0], feats[1], feats[2], feats[3],
-                                     props.boxes)
+        box_feats, perm, real = _batched_roi_align(
+            feats, props.boxes, (7, 7), aligned)
+        prop_boxes, prop_valid = props.boxes, props.valid
+        if perm is not None:
+            prop_boxes = _permute_side(prop_boxes, perm, 1)
+            prop_valid = _permute_side(prop_valid, perm) & real
         s = box_feats.shape[1]
         cls_logits, box_deltas = model.apply(
             variables, box_feats.reshape(b * s, 7, 7, -1),
@@ -225,24 +295,41 @@ def make_mask_rcnn_infer_fn(model, cfg, max_det: int = 100,
         cls_logits = cls_logits.reshape(b, s, -1)
         box_deltas = box_deltas.reshape(b, s, -1, 4)
 
+        # detections are score-ranked, so the (permuted) roi order only
+        # affects tie-breaks — the per-detection rows are self-contained
         dets = jax.vmap(partial(R.postprocess_detections, image_hw=image_hw,
                                 score_thresh=score_thresh,
                                 nms_thresh=nms_thresh, max_det=max_det))(
-            cls_logits, box_deltas, props.boxes, props.valid)
+            cls_logits, box_deltas, prop_boxes, prop_valid)
 
-        def align14(f2, f3, f4, f5, rois):
-            return multiscale_roi_align((f2, f3, f4, f5), rois, (14, 14),
-                                        ROI_SCALES, aligned=aligned)
-        mask_feats = jax.vmap(align14)(feats[0], feats[1], feats[2], feats[3],
-                                       dets.boxes)
+        mask_feats, m_perm, m_real = _batched_roi_align(
+            feats, dets.boxes, (14, 14), aligned)
+        md = mask_feats.shape[1]
         mask_logits = model.apply(
-            variables, mask_feats.reshape(b * max_det, 14, 14, -1),
-            method="mask_forward").reshape(b, max_det, 28, 28, -1)
+            variables, mask_feats.reshape(b * md, 14, 14, -1),
+            method="mask_forward").reshape(b, md, 28, 28, -1)
         # pick each detection's class channel (maskrcnn_inference,
         # roi_head.py:59-91) -> probs (B, D, 28, 28)
+        if m_perm is None:
+            labels_slot = dets.labels
+        else:
+            labels_slot = _permute_side(dets.labels, m_perm)
         picked = jnp.take_along_axis(
-            mask_logits, dets.labels[:, :, None, None, None], axis=4)[..., 0]
+            mask_logits, labels_slot[:, :, None, None, None],
+            axis=4)[..., 0]
         mask_probs = jax.nn.sigmoid(picked)
+        if m_perm is not None:
+            # un-permute the SMALL (B, D, 28, 28) prob maps back to
+            # detection order: inv[d] = slot holding detection d (dummy
+            # slots scatter out-of-bounds and are dropped)
+            slot_idx = jnp.arange(m_perm.shape[1], dtype=jnp.int32)
+
+            def invert(p, rl):
+                return jnp.zeros((max_det,), jnp.int32).at[
+                    jnp.where(rl, p, max_det)].set(slot_idx, mode="drop")
+            inv = jax.vmap(invert)(m_perm, m_real)
+            mask_probs = jnp.take_along_axis(
+                mask_probs, inv[:, :, None, None], axis=1)
         return dets, mask_probs
 
     return infer
