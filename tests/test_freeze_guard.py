@@ -120,10 +120,14 @@ def test_mask_rcnn_trainable_layers_pruned_even_unfrozen():
     s1, m1 = step(state, batch, rng)
     assert np.isfinite(float(m1["total"]))
     # permanently-frozen layers did not move even though phase is unfrozen
+    # (backbone blocks are flat-named layer<i>_<j>)
+    def sub(tree, prefix):
+        return {k: v for k, v in tree.items() if k.startswith(prefix)}
+
     assert _leaf_diff(s1.params["backbone"]["conv1"],
                       state.params["backbone"]["conv1"]) == 0.0
-    assert _leaf_diff(s1.params["backbone"]["layer1"],
-                      state.params["backbone"]["layer1"]) == 0.0
+    assert _leaf_diff(sub(s1.params["backbone"], "layer1_"),
+                      sub(state.params["backbone"], "layer1_")) == 0.0
     # layer4 trained
-    assert _leaf_diff(s1.params["backbone"]["layer4"],
-                      state.params["backbone"]["layer4"]) > 0.0
+    assert _leaf_diff(sub(s1.params["backbone"], "layer4_"),
+                      sub(state.params["backbone"], "layer4_")) > 0.0
