@@ -138,7 +138,13 @@ def main(argv=None):
             sizes.append(float(np.sqrt(area_b)))
 
     ious = np.asarray(ious)
+    # COCO-style implied ceiling: with perfect classification and one
+    # detection per gt, AP@t ~= frac(IoU>=t); the memorization bbox mAP
+    # ceiling the head grid permits is the mean over the 10 thresholds.
+    thresholds = np.arange(0.5, 1.0, 0.05)
+    implied = float(np.mean([(ious >= t).mean() for t in thresholds]))
     out = {
+        "implied_bbox_map_ceiling": round(implied, 4),
         "config": cfg.name, "checkpoint": args.checkpoint,
         "split": args.split, "aligned": aligned,
         "dtype": "f32" if args.f32 else "bf16",
