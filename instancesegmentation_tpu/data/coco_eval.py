@@ -95,7 +95,9 @@ class COCOeval:
 
         def to_rle(ann):
             seg = ann.get("segmentation")
-            if isinstance(seg, dict) and not isinstance(seg.get("counts"), list):
+            # compressed OR uncompressed RLE dicts pass straight through
+            # (iou_rle handles both count forms); only polygons rasterize
+            if isinstance(seg, dict) and "counts" in seg:
                 return seg
             return rle.encode(rle.ann_to_mask(ann, h, w))
         d = [to_rle(x) for x in dt_anns]

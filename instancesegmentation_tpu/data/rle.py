@@ -45,6 +45,17 @@ def _load_native() -> Optional[ctypes.CDLL]:
             lib.rle_decode.argtypes = [
                 ctypes.c_char_p, ctypes.c_int, ctypes.c_int,
                 ctypes.POINTER(ctypes.c_uint8)]
+            try:  # added later than encode/decode; absent in old builds
+                lib.rle_iou.restype = None
+                lib.rle_iou.argtypes = [
+                    ctypes.POINTER(ctypes.c_int64),
+                    ctypes.POINTER(ctypes.c_int64),
+                    ctypes.POINTER(ctypes.c_int64),
+                    ctypes.c_int, ctypes.c_int,
+                    ctypes.POINTER(ctypes.c_uint8),
+                    ctypes.POINTER(ctypes.c_double)]
+            except AttributeError:
+                pass
             _NATIVE = lib
         except OSError:
             _NATIVE = None
@@ -154,13 +165,42 @@ def area(rle: Dict) -> int:
     return int(sum(counts[1::2]))
 
 
-def iou_rle(dt: List[Dict], gt: List[Dict], iscrowd: Sequence[int]) -> np.ndarray:
-    """Pairwise mask IoU (crowd gt: intersection / area(dt)), numpy.
+def _counts_array(r: Dict) -> np.ndarray:
+    c = r["counts"]
+    if isinstance(c, (str, bytes)):
+        c = string_to_counts(c)
+    return np.asarray(c, dtype=np.int64)
 
-    Matches pycocotools.mask.iou semantics for the eval path.
+
+def iou_rle(dt: List[Dict], gt: List[Dict], iscrowd: Sequence[int]) -> np.ndarray:
+    """Pairwise mask IoU (crowd gt: intersection / area(dt)).
+
+    Matches pycocotools.mask.iou semantics for the eval path. Native
+    path (librle.so rle_iou) merges run lengths directly — O(runs) per
+    pair, no pixel materialization, like pycocotools' C rleIou; the
+    dense-decode numpy path below is the always-available fallback and
+    the golden reference in tests.
     """
     if not dt or not gt:
         return np.zeros((len(dt), len(gt)))
+    lib = _load_native()
+    if lib is not None and hasattr(lib, "rle_iou"):
+        allc = [_counts_array(r) for r in dt] + [_counts_array(r) for r in gt]
+        lens = np.array([len(c) for c in allc], dtype=np.int64)
+        offs = np.zeros(len(allc), dtype=np.int64)
+        np.cumsum(lens[:-1], out=offs[1:])
+        flat = (np.concatenate(allc) if allc else
+                np.zeros(0, np.int64)).astype(np.int64, copy=False)
+        flat = np.ascontiguousarray(flat)
+        crowd = np.ascontiguousarray(np.asarray(iscrowd, dtype=np.uint8))
+        out = np.zeros((len(dt), len(gt)), dtype=np.float64)
+        i64p = ctypes.POINTER(ctypes.c_int64)
+        lib.rle_iou(
+            flat.ctypes.data_as(i64p), offs.ctypes.data_as(i64p),
+            lens.ctypes.data_as(i64p), len(dt), len(gt),
+            crowd.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+            out.ctypes.data_as(ctypes.POINTER(ctypes.c_double)))
+        return out
     dmasks = np.stack([decode(d).reshape(-1) for d in dt]).astype(np.float64)
     gmasks = np.stack([decode(g).reshape(-1) for g in gt]).astype(np.float64)
     inter = dmasks @ gmasks.T

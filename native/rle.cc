@@ -94,4 +94,60 @@ int rle_decode(const char* s, int h, int w, uint8_t* out) {
   return 0;
 }
 
+// Run-length-space intersection of two masks given as uncompressed COCO
+// count arrays (alternating 0/1 run lengths, starting with zeros, over
+// the same h*w pixel sequence). O(runs), never materializes pixels —
+// the same trick pycocotools' C rleArea/rleIou uses.
+static int64_t rle_intersection(const int64_t* a, int64_t na,
+                                const int64_t* b, int64_t nb) {
+  int64_t ka = 0, kb = 0;
+  int va = 0, vb = 0;  // value of the current run (counts start with 0s)
+  int64_t ca = (na > 0) ? a[0] : 0;
+  int64_t cb = (nb > 0) ? b[0] : 0;
+  int64_t inter = 0;
+  for (;;) {
+    while (ca == 0) {  // advance a (zero-length runs just toggle parity)
+      if (++ka >= na) return inter;
+      va ^= 1;
+      ca = a[ka];
+    }
+    while (cb == 0) {
+      if (++kb >= nb) return inter;
+      vb ^= 1;
+      cb = b[kb];
+    }
+    int64_t c = ca < cb ? ca : cb;
+    if (va && vb) inter += c;
+    ca -= c;
+    cb -= c;
+  }
+}
+
+// Pairwise mask IoU in RLE space (pycocotools mask.iou semantics:
+// crowd gt -> intersection / area(dt)). Count arrays for the nd
+// detections followed by the ng ground truths are concatenated in
+// `counts`, indexed by offs/lens (element i spans
+// counts[offs[i] .. offs[i]+lens[i])). Writes an (nd, ng) row-major
+// double matrix to `out`.
+void rle_iou(const int64_t* counts, const int64_t* offs, const int64_t* lens,
+             int nd, int ng, const uint8_t* iscrowd, double* out) {
+  std::vector<int64_t> area(nd + ng);
+  for (int i = 0; i < nd + ng; ++i) {
+    int64_t s = 0;
+    for (int64_t k = 1; k < lens[i]; k += 2) s += counts[offs[i] + k];
+    area[i] = s;
+  }
+  for (int d = 0; d < nd; ++d) {
+    const int64_t* dc = counts + offs[d];
+    for (int g = 0; g < ng; ++g) {
+      const int64_t* gc = counts + offs[nd + g];
+      int64_t inter = rle_intersection(dc, lens[d], gc, lens[nd + g]);
+      int64_t denom = iscrowd[g] ? area[d]
+                                 : area[d] + area[nd + g] - inter;
+      out[(int64_t)d * ng + g] =
+          denom > 0 ? (double)inter / (double)denom : 0.0;
+    }
+  }
+}
+
 }  // extern "C"

@@ -53,6 +53,36 @@ def test_rle_iou():
     np.testing.assert_allclose(crowd, [[0.5]])
 
 
+def test_rle_iou_native_matches_dense(rng, monkeypatch):
+    """The O(runs) native rle_iou (native/rle.cc) must be bit-exact vs the
+    dense-decode numpy fallback (the golden reference), incl. crowd
+    semantics and empty/full masks."""
+    if rle._load_native() is None or not hasattr(rle._load_native(), "rle_iou"):
+        import pytest
+        pytest.skip("librle.so without rle_iou (run make -C native)")
+
+    H, W = 61, 47   # odd sizes: exercise column-major runs that wrap rows
+    def rand_mask():
+        m = np.zeros((H, W), np.uint8)
+        for _ in range(int(rng.randint(0, 4))):
+            y, x = int(rng.randint(0, H)), int(rng.randint(0, W))
+            h, w = int(rng.randint(1, 30)), int(rng.randint(1, 30))
+            m[y:y + h, x:x + w] = 1
+        return m
+
+    dts = [rle.encode(rand_mask()) for _ in range(7)]
+    gts = ([rle.encode(rand_mask()) for _ in range(4)]
+           + [rle.encode(np.zeros((H, W), np.uint8)),
+              rle.encode(np.ones((H, W), np.uint8))])
+    crowd = [0, 1, 0, 1, 0, 1]
+
+    native = rle.iou_rle(dts, gts, crowd)
+    monkeypatch.setattr(rle, "_load_native", lambda: None)
+    dense = rle.iou_rle(dts, gts, crowd)
+    np.testing.assert_allclose(native, dense, rtol=0, atol=0)
+    assert native.shape == (7, 6)
+
+
 def test_polygons_to_mask():
     m = rle.polygons_to_mask([[1, 1, 6, 1, 6, 6, 1, 6]], 8, 8)
     assert m[3, 3] == 1 and m[0, 0] == 0
