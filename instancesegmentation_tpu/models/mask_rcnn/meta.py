@@ -108,8 +108,11 @@ def _batched_roi_align(feats, rois, out_size, aligned):
         import jax as _jax
         from instancesegmentation_tpu.ops.pallas.roi_align_sorted import \
             multiscale_roi_align_sorted
+        # P2..P5 only — P6 exists for the RPN, not RoIAlign (torchvision
+        # featmap_names '0'-'3', faster_rcnn_framework.py:326-329); passing
+        # it would add dead canvas rows and a 5th level ROI_SCALES lacks
         out = multiscale_roi_align_sorted(
-            list(feats), rois, out_size, ROI_SCALES, aligned=aligned,
+            list(feats[:4]), rois, out_size, ROI_SCALES, aligned=aligned,
             rb=int(os.environ.get("INSTSEG_ROI_RB", "16")),
             interpret=_jax.default_backend() != "tpu")
         return out.feats, out.perm, out.real

@@ -272,8 +272,15 @@ def _fwd_kernel(blk_ref, by_ref, bx_ref, canvas_ref, out_ref, slab, loaded,
         for l in range(len(spec.row_off)):       # scalar select of offset
             row8 = jnp.where(lvl == l, jnp.int32(spec.row_off[l] // 8),
                              row8)
+        # pl.multiple_of: at small canvases (eval buckets) Mosaic promotes
+        # the ANY-space canvas into VMEM and the copy becomes a
+        # tpu.memref_slice, whose start the prover must show is
+        # sublane-tile aligned — it cannot see through the select chain
+        # even times 8 (observed: "Failed to prove that a tile index in
+        # dimension 2 is divisible by the tiling (8)" at 192x128 inputs)
         cp = pltpu.make_async_copy(
-            canvas_ref.at[ib, ic, pl.ds(row8 * 8, spec.sh), :],
+            canvas_ref.at[ib, ic,
+                          pl.ds(pl.multiple_of(row8 * 8, 8), spec.sh), :],
             slab, sem)
         cp.start()
         cp.wait()
@@ -360,13 +367,14 @@ def _bwd_kernel(blk_ref, by_ref, bx_ref, g_ref, dcanvas_ref, dslab, dtmp_s,
     lvl = blk_ref[ib, ir].astype(jnp.int32)
 
     def row_off8_of(l_scalar):
-        """Level row offset / 8 (multiply back at the slice so Mosaic can
-        prove sublane-tile alignment of the dynamic index)."""
+        """Level row offset, asserted 8-aligned (pl.multiple_of) so Mosaic
+        can prove sublane-tile alignment of the dynamic index even when it
+        cannot see through the select chain (VMEM-promoted dcanvas)."""
         row8 = jnp.int32(0)
         for l in range(len(spec.row_off)):
             row8 = jnp.where(l_scalar == l, jnp.int32(spec.row_off[l] // 8),
                              row8)
-        return row8
+        return pl.multiple_of(row8 * 8, 8)
 
     @pl.when(jnp.logical_and(ir == 0, jnp.logical_and(ic == 0, ib == 0)))
     def _init_tag():
@@ -379,7 +387,7 @@ def _bwd_kernel(blk_ref, by_ref, bx_ref, g_ref, dcanvas_ref, dslab, dtmp_s,
     def _flush_prev():
         cp = pltpu.make_async_copy(
             dslab, dcanvas_ref.at[ib, ic,
-                                  pl.ds(row_off8_of(prev) * 8, spec.sh),
+                                  pl.ds(row_off8_of(prev), spec.sh),
                                   :], sem)
         cp.start()
         cp.wait()
@@ -412,7 +420,7 @@ def _bwd_kernel(blk_ref, by_ref, bx_ref, g_ref, dcanvas_ref, dslab, dtmp_s,
     def _flush_last():
         cp = pltpu.make_async_copy(
             dslab, dcanvas_ref.at[ib, ic,
-                                  pl.ds(row_off8_of(lvl) * 8, spec.sh),
+                                  pl.ds(row_off8_of(lvl), spec.sh),
                                   :], sem)
         cp.start()
         cp.wait()
