@@ -49,6 +49,16 @@ class Config:
     # its live default is nn.BatchNorm2d).
     trainable_layers: int = 3
     frozen_bn: bool = False
+    # OPT-IN perf mode (DEVIATION, default off): freeze backbone BN
+    # STATISTICS during the freeze phase only — normalize with the stored
+    # running stats instead of batch stats while the backbone is frozen
+    # anyway. The reference keeps every BN module in train mode through
+    # both phases (freeze only clears requires_grad, nets/yolact.py:207-213),
+    # so its running stats drift even while frozen; this flag trades that
+    # drift for removing the BN-statistics reduces — measured ~25% of the
+    # YOLACT b8 train step (PERF_NOTES "live-BN wall"). Meaningful only
+    # with pretrained/imported stats. Unfreeze phase is unaffected.
+    freeze_phase_bn_stats: bool = False
     # RoIAlign grid semantics: False = torchvision 0.4 (aligned=False),
     # the reference's pinned behavior, which carries a systematic ~0.5-px
     # feature-grid offset; True = half-pixel-corrected grid (later

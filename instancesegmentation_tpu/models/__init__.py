@@ -8,19 +8,28 @@ config's ``net`` field.
 from __future__ import annotations
 
 
-def get_model(cfg, train_mode: bool = True):
-    """Build the flax module for a config (dispatch on cfg.net)."""
+def get_model(cfg, train_mode: bool = True, frozen_bn: bool = None):
+    """Build the flax module for a config (dispatch on cfg.net).
+
+    ``frozen_bn`` overrides the config's BN-freeze choice for this module
+    instance (used by the trainer to build a frozen-stats freeze-phase
+    step under ``cfg.freeze_phase_bn_stats``); variable trees are
+    identical either way.
+    """
     if cfg.net == "yolact":
         from instancesegmentation_tpu.models.yolact.model import Yolact
         return Yolact(num_classes=cfg.num_classes + 1,
                       train_mode=train_mode,
-                      dtype=cfg.compute_dtype)
+                      dtype=cfg.compute_dtype,
+                      frozen_bn=bool(frozen_bn) if frozen_bn is not None
+                      else False)
     if cfg.net == "mask_rcnn":
         from instancesegmentation_tpu.models.mask_rcnn.model import MaskRCNN
         return MaskRCNN(num_classes=cfg.num_classes + 1,
                         train_mode=train_mode,
                         dtype=cfg.compute_dtype,
-                        frozen_bn=cfg.frozen_bn)
+                        frozen_bn=cfg.frozen_bn if frozen_bn is None
+                        else bool(frozen_bn))
     raise ValueError(f"unknown net: {cfg.net!r}")
 
 

@@ -106,10 +106,17 @@ class Yolact(nn.Module):
     train_mode: bool = True
     dtype: Any = jnp.bfloat16
     bn_axis_name: Optional[str] = None
+    # FrozenBatchNorm semantics for the backbone (normalize with running
+    # stats even under train=True, never update them). Variable tree is
+    # identical to live BN, so a frozen-bn module can apply the same
+    # checkpoint — used by cfg.freeze_phase_bn_stats (opt-in perf mode,
+    # deviates from the reference which keeps BN live in both phases).
+    frozen_bn: bool = False
 
     def setup(self):
         self.backbone = ResNet(layers=(3, 4, 6, 3), out_stages=(2, 3, 4),
                                dtype=self.dtype, bn_axis_name=self.bn_axis_name,
+                               frozen_bn=self.frozen_bn,
                                name="backbone")
         self.fpn = FPN(dtype=self.dtype, name="fpn")
         self.proto_net = ProtoNet(self.coef_dim, dtype=self.dtype, name="proto_net")

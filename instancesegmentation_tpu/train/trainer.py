@@ -191,8 +191,15 @@ class Trainer:
         return max(b, -(-b // self.n_devices) * self.n_devices)
 
     def _build_steps(self):
+        # cfg.freeze_phase_bn_stats: the freeze-phase step applies a
+        # frozen-stats clone of the model (identical variable tree); the
+        # unfreeze phase rebuilds with live BN as usual
+        step_model = self.model
+        if (self.frozen and getattr(self.cfg, "freeze_phase_bn_stats", False)
+                and self.cfg.net == "yolact"):
+            step_model = get_model(self.cfg, train_mode=True, frozen_bn=True)
         if self.cfg.net == "yolact":
-            train_step = make_yolact_train_step(self.model, self.tx,
+            train_step = make_yolact_train_step(step_model, self.tx,
                                                 self.anchors, self.cfg,
                                                 frozen_backbone=self.frozen)
             eval_step = make_yolact_eval_step(self.model, self.anchors,

@@ -91,3 +91,41 @@ def test_trainer_bucketed_mask_rcnn_smoke(tmp_path_factory):
     result = tr.train()
     assert np.isfinite(result["train_loss"])
     assert np.isfinite(result["val_loss"])
+
+
+def test_trainer_freeze_phase_bn_stats(tmp_path_factory):
+    """cfg.freeze_phase_bn_stats: backbone BN statistics stay EXACTLY
+    fixed through the freeze phase and move again once the unfreeze
+    switch rebuilds the step with live BN (the opt-in deviation
+    documented in config.py)."""
+    import jax
+    import numpy as np
+    from instancesegmentation_tpu.config import get_config
+    from instancesegmentation_tpu.train.trainer import Trainer
+
+    def run(tag, **over):
+        cfg = get_config(
+            "yolact_synth",
+            data_root=str(tmp_path_factory.mktemp(f"synth_{tag}")),
+            out_root=str(tmp_path_factory.mktemp(f"out_{tag}")),
+            input_shape=(128, 128), freeze_batch_size=8,
+            unfreeze_batch_size=8, num_workers=1, mixed_precision=False,
+            freeze_phase_bn_stats=True, **over)
+        tr = Trainer(cfg, max_steps_per_epoch=2)
+        stats0 = [np.asarray(x) for x in
+                  jax.tree_util.tree_leaves(tr.state.batch_stats)]
+        result = tr.train()
+        assert np.isfinite(result["train_loss"])
+        stats1 = [np.asarray(x) for x in
+                  jax.tree_util.tree_leaves(tr.state.batch_stats)]
+        return tr, stats0, stats1
+
+    # freeze-only run (switch never happens): stats bit-identical
+    tr, s0, s1 = run("frz", freeze_epoch=2, unfreeze_epoch=2)
+    assert tr.frozen
+    assert all(np.array_equal(a, b) for a, b in zip(s0, s1))
+
+    # freeze + unfreeze run: the live-BN unfreeze epoch moves the stats
+    tr, s0, s1 = run("both", freeze_epoch=1, unfreeze_epoch=2)
+    assert not tr.frozen
+    assert any(not np.allclose(a, b) for a, b in zip(s0, s1))

@@ -140,3 +140,27 @@ def test_s2d_stem_odd_shape_same_param_tree():
         dimension_numbers=("NHWC", "HWIO", "NHWC"))
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
                                rtol=1e-5, atol=1e-5)
+
+
+def test_frozen_bn_variant_same_tree_frozen_stats(small_model):
+    """cfg.freeze_phase_bn_stats applies a frozen_bn=True clone of the
+    model to the same checkpoint: the variable tree must be identical and
+    batch statistics must NOT move under train=True."""
+    model, variables = small_model
+    frozen = Yolact(num_classes=4, train_mode=True, dtype=jnp.float32,
+                    frozen_bn=True)
+    x = np.random.RandomState(1).randn(2, 64, 64, 3).astype(np.float32) * 5
+    out, mut = frozen.apply(variables, x, train=True,
+                            mutable=["batch_stats"])
+    # same tree: the frozen clone accepted the live model's variables and
+    # returned the same collection structure
+    assert (jax.tree_util.tree_structure(mut["batch_stats"])
+            == jax.tree_util.tree_structure(variables["batch_stats"]))
+    old = jax.tree_util.tree_leaves(variables["batch_stats"])
+    new = jax.tree_util.tree_leaves(mut["batch_stats"])
+    assert all(np.allclose(o, n) for o, n in zip(old, new))
+    # and it equals the live model's eval-mode forward (same stats path)
+    eval_out = model.apply(variables, x, train=False,
+                           mutable=["batch_stats"])[0]
+    np.testing.assert_allclose(np.asarray(out[0]), np.asarray(eval_out[0]),
+                               rtol=1e-5, atol=1e-5)

@@ -49,6 +49,12 @@ def main():
     ap.add_argument("--iters", type=int, default=30)
     ap.add_argument("--trace", default="")
     ap.add_argument("--f32", action="store_true")
+    ap.add_argument("--phase", choices=["freeze", "unfreeze"],
+                    default="unfreeze",
+                    help="freeze = frozen backbone step (phase-1 program)")
+    ap.add_argument("--freeze_bn_stats", action="store_true",
+                    help="with --phase freeze: apply the frozen-stats "
+                    "backbone clone (cfg.freeze_phase_bn_stats mode)")
     args = ap.parse_args()
 
     import jax
@@ -66,20 +72,25 @@ def main():
     from instancesegmentation_tpu.utils.device import pin_to_device
 
     cfg = get_config(args.config, mixed_precision=not args.f32)
-    model = get_model(cfg, train_mode=True)
+    frozen = args.phase == "freeze"
+    model = get_model(cfg, train_mode=True,
+                      frozen_bn=True if (frozen and args.freeze_bn_stats)
+                      else None)
     batch = make_batch(cfg, args.batch)
 
     rng = jax.random.key(0)
     sample = np.zeros((1,) + tuple(cfg.input_shape) + (3,), np.float32)
     state = create_train_state(model, cfg, rng, sample, lr=1e-4,
-                               frozen_backbone=False)
-    tx = make_phase_optimizer(cfg, 1e-4, False, state.params)
+                               frozen_backbone=frozen)
+    tx = make_phase_optimizer(cfg, 1e-4, frozen, state.params)
 
     if cfg.net == "yolact":
         anchors = yolact_anchors(cfg.input_shape, cfg.anchors_size)
-        step_fn = make_yolact_train_step(model, tx, anchors, cfg)
+        step_fn = make_yolact_train_step(model, tx, anchors, cfg,
+                                         frozen_backbone=frozen)
     else:
-        step_fn = make_mask_rcnn_train_step(model, tx, cfg)
+        step_fn = make_mask_rcnn_train_step(model, tx, cfg,
+                                            frozen_backbone=frozen)
     step = jax.jit(step_fn, donate_argnums=0)
 
     dev = jax.devices()[0]
