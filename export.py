@@ -98,7 +98,8 @@ def main(argv=None):
         from instancesegmentation_tpu.ops.anchors import yolact_anchors
         anchors = yolact_anchors(cfg.input_shape, cfg.anchors_size)
         infer = make_infer_fn(model, anchors, conf, iou, cfg.top_k,
-                              cfg.max_detections)
+                              cfg.max_detections,
+                              traditional_nms=cfg.traditional_nms)
         register(RawDetections, "instseg.RawDetections")
     else:
         # Mask R-CNN export path (the reference exports whatever
