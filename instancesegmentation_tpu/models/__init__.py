@@ -21,8 +21,8 @@ def get_model(cfg, train_mode: bool = True, frozen_bn: bool = None):
         return Yolact(num_classes=cfg.num_classes + 1,
                       train_mode=train_mode,
                       dtype=cfg.compute_dtype,
-                      frozen_bn=bool(frozen_bn) if frozen_bn is not None
-                      else False)
+                      frozen_bn=cfg.frozen_bn if frozen_bn is None
+                      else bool(frozen_bn))
     if cfg.net == "mask_rcnn":
         from instancesegmentation_tpu.models.mask_rcnn.model import MaskRCNN
         return MaskRCNN(num_classes=cfg.num_classes + 1,

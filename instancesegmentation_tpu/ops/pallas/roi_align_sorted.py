@@ -117,19 +117,18 @@ def pack_fpn_levels(feats: Sequence[jnp.ndarray], spec: CanvasSpec
 # ---------------------------------------------------------------------------
 
 class SortedRois(NamedTuple):
-    geom: jnp.ndarray         # (B, 8, Rpad) f32 per-slot geometry, fields-major
+    geom: jnp.ndarray         # (B, 6, Rpad) f32 per-slot geometry, fields-major
     block_lvl: jnp.ndarray    # (B, nblocks) i32 level of each roi block
     perm: jnp.ndarray         # (B, Rpad) i32 original roi index per slot
     real: jnp.ndarray         # (B, Rpad) bool slot holds a real roi
 
 
-GEOM_FIELDS = 8     # [y1c, x1c, bin_h, bin_w, Hl, Wl, row_off, lvl]
+GEOM_FIELDS = 6     # [y1c, x1c, bin_h, bin_w, Hl, Wl]
 
 
 def sort_rois_by_level(rois: jnp.ndarray, spec: CanvasSpec,
                        spatial_scales: Sequence[float], out_size,
-                       rb: int, aligned: bool,
-                       sampling_ratio: int = 2) -> SortedRois:
+                       rb: int, aligned: bool) -> SortedRois:
     """rois (B, R, 4) image-coord xyxy -> level-sorted padded slot tables.
 
     Rpad = R + L*rb is the static bound: each of the L level segments is
@@ -147,7 +146,6 @@ def sort_rois_by_level(rois: jnp.ndarray, spec: CanvasSpec,
     scales = jnp.asarray(spatial_scales, jnp.float32)
     hs = jnp.asarray(spec.hs, jnp.float32)
     ws = jnp.asarray(spec.ws, jnp.float32)
-    offs = jnp.asarray(spec.row_off, jnp.float32)
 
     def one(rois_i):
         lvl = fpn_level_assignment(rois_i)                       # (R,)
@@ -193,8 +191,7 @@ def sort_rois_by_level(rois: jnp.ndarray, spec: CanvasSpec,
         # so the long slot axis must be minor (a (Rpad, 8) table would
         # allocate Rpad*128 lanes and blow the 1 MB SMEM)
         geom = jnp.stack([y1, x1, rh / oh, rw / out_size[1],
-                          hs[slot_lvl], ws[slot_lvl], offs[slot_lvl],
-                          slot_lvl.astype(jnp.float32)], axis=0)
+                          hs[slot_lvl], ws[slot_lvl]], axis=0)
         return SortedRois(geom, block_lvl, perm, real)
 
     return jax.vmap(one)(rois)
@@ -207,7 +204,7 @@ def sort_rois_by_level(rois: jnp.ndarray, spec: CanvasSpec,
 def make_operators(geom: jnp.ndarray, spec: CanvasSpec,
                    out_size: Tuple[int, int], s: int
                    ) -> Tuple[jnp.ndarray, jnp.ndarray]:
-    """geom (B, 8, Rpad) -> By (B, Rpad, oh, SH), Bx (B, Rpad, ow, WM) bf16.
+    """geom (B, 6, Rpad) -> By (B, Rpad, oh, SH), Bx (B, Rpad, ow, WM) bf16.
 
     By[b, slot, i, h] = mean over the s samples in output bin i of the
     linear interpolation weight on source row h, with torchvision
@@ -540,7 +537,7 @@ def multiscale_roi_align_sorted(feats: Sequence[jnp.ndarray],
     """
     spec = make_canvas_spec([f.shape[1:3] for f in feats], feats[0].shape[-1])
     srt = sort_rois_by_level(rois, spec, spatial_scales, out_size, rb,
-                             aligned, sampling_ratio)
+                             aligned)
     by, bx = make_operators(srt.geom, spec, out_size, sampling_ratio)
     marker = jnp.zeros((0,), feats[0].dtype)
     out = _sorted_align(tuple(feats), by, bx,

@@ -48,6 +48,12 @@ class CheckpointIO:
                 if getattr(x, "is_fully_addressable", True) else x, state)
         self._ckptr.wait_until_finished()
         self._ckptr.save(self._path(name), host_state, force=True)
+        if jax.process_count() > 1:
+            # the non-addressable shards above went to orbax as LIVE device
+            # arrays; the trainer donates state buffers on the next step,
+            # which would race orbax's still-async device reads. Block here
+            # (synchronous save) — only real multi-host runs pay this.
+            self._ckptr.wait_until_finished()
         if meta is not None and jax.process_index() == 0:
             # sidecar epoch/phase record: resume derives start_epoch from
             # here instead of step // steps_per_epoch, which miscounts

@@ -172,8 +172,6 @@ class FusedTx:
             count=cnt, mu=new_m,
             nu=new_v if kind in ("adam", "adamw") else {},
             hyperparams=dict(opt_state.hyperparams))
-        new_state.hyperparams["learning_rate"] = \
-            opt_state.hyperparams["learning_rate"]
         return new_p, new_state, (new_e if has_ema else None)
 
 

@@ -195,8 +195,7 @@ class Trainer:
         # frozen-stats clone of the model (identical variable tree); the
         # unfreeze phase rebuilds with live BN as usual
         step_model = self.model
-        if (self.frozen and getattr(self.cfg, "freeze_phase_bn_stats", False)
-                and self.cfg.net == "yolact"):
+        if self.frozen and getattr(self.cfg, "freeze_phase_bn_stats", False):
             step_model = get_model(self.cfg, train_mode=True, frozen_bn=True)
         if self.cfg.net == "yolact":
             train_step = make_yolact_train_step(step_model, self.tx,
@@ -205,7 +204,7 @@ class Trainer:
             eval_step = make_yolact_eval_step(self.model, self.anchors,
                                               self.cfg, use_ema=self.cfg.ema)
         else:
-            train_step = make_mask_rcnn_train_step(self.model, self.tx,
+            train_step = make_mask_rcnn_train_step(step_model, self.tx,
                                                    self.cfg,
                                                    frozen_backbone=self.frozen)
             eval_step = make_mask_rcnn_eval_step(self.model, self.cfg,

@@ -78,9 +78,10 @@ def test_every_roi_slotted_once():
         blk = np.asarray(srt.block_lvl[bi])
         assert (np.diff(blk) >= 0).all()
         lvls = np.asarray(fpn_level_assignment(rois[bi]))
-        geom_lvl = np.asarray(srt.geom[bi, 7, :]).astype(int)
+        # slot geometry rows (Hl, Wl) consistent with the roi's level
+        geom_h = np.asarray(srt.geom[bi, 4, :])
         for slot in np.nonzero(real)[0]:
-            assert geom_lvl[slot] == lvls[perm[slot]]
+            assert geom_h[slot] == spec.hs[lvls[perm[slot]]]
             assert blk[slot // rb] == lvls[perm[slot]]
 
 

@@ -12,9 +12,13 @@ attribution (view op totals with tools/trace_summary.py).
 """
 
 import argparse
+import os
+import sys
 import time
 
 import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
 def make_batch(cfg, batch):
@@ -55,6 +59,10 @@ def main():
     ap.add_argument("--freeze_bn_stats", action="store_true",
                     help="with --phase freeze: apply the frozen-stats "
                     "backbone clone (cfg.freeze_phase_bn_stats mode)")
+    ap.add_argument("--set", action="append", default=[], metavar="KEY=VAL",
+                    dest="overrides",
+                    help="typed config overrides, e.g. "
+                    "--set input_shape=(832,640) to time one bucket shape")
     args = ap.parse_args()
 
     import jax
@@ -72,6 +80,9 @@ def main():
     from instancesegmentation_tpu.utils.device import pin_to_device
 
     cfg = get_config(args.config, mixed_precision=not args.f32)
+    if args.overrides:
+        from train import parse_set_overrides
+        cfg = cfg.replace(**parse_set_overrides(args.overrides, cfg))
     frozen = args.phase == "freeze"
     model = get_model(cfg, train_mode=True,
                       frozen_bn=True if (frozen and args.freeze_bn_stats)

@@ -72,9 +72,14 @@ def parse_set_overrides(pairs, cfg):
                 import ast
                 lit = ast.literal_eval(raw)
                 # scalar for a tuple field broadcasts to the field's
-                # length (--set input_shape=544 -> (544, 544))
-                val = (tuple(lit) if isinstance(lit, (tuple, list))
-                       else (lit,) * max(len(cur), 1))
+                # length (--set input_shape=544 -> (544, 544)), coerced
+                # to the element type so 800.0 can't float an int tuple
+                if isinstance(lit, (tuple, list)):
+                    val = tuple(lit)
+                else:
+                    if cur and not isinstance(lit, type(cur[0])):
+                        lit = type(cur[0])(lit)
+                    val = (lit,) * max(len(cur), 1)
             else:
                 val = raw
         except (ValueError, SyntaxError, TypeError) as e:
