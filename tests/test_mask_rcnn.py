@@ -160,6 +160,51 @@ def test_frozen_bn_and_trainable_layers():
                if k[0] not in ("backbone", "fpn"))
 
 
+def test_mask_rcnn_freeze_phase_bn_stats_step():
+    """The trainer's cfg.freeze_phase_bn_stats clone path for mask_rcnn
+    (trainer._build_steps): a frozen-stats model built over a LIVE-BN
+    config accepts the live train state unchanged and moves no batch
+    statistics in a train step."""
+    import flax
+    from instancesegmentation_tpu.config import get_config
+    from instancesegmentation_tpu.models import get_model
+    from instancesegmentation_tpu.train.state import (create_train_state,
+                                                      make_phase_optimizer)
+    from instancesegmentation_tpu.train.steps import make_mask_rcnn_train_step
+
+    cfg = get_config("mask_rcnn_synth", input_shape=(64, 64), max_instances=4,
+                     mixed_precision=False, frozen_bn=False,
+                     freeze_phase_bn_stats=True)
+    live = get_model(cfg, train_mode=True)
+    clone = get_model(cfg, train_mode=True, frozen_bn=True)
+    b = 2
+    sample = np.zeros((b, 64, 64, 3), np.float32)
+    state = create_train_state(live, cfg, jax.random.key(0), sample,
+                               lr=1e-2, frozen_backbone=True)
+    tx = make_phase_optimizer(cfg, 1e-2, True, state.params)
+    step = jax.jit(make_mask_rcnn_train_step(clone, tx, cfg,
+                                             frozen_backbone=True))
+
+    m = cfg.max_instances
+    batch = {
+        "image": np.random.RandomState(0).randn(b, 64, 64, 3).astype(np.float32),
+        "boxes": np.tile(np.array([[0.1, 0.1, 0.6, 0.7]], np.float32), (b, m, 1)),
+        "labels": np.ones((b, m), np.int32),
+        "masks": np.zeros((b, m, 64, 64), np.uint8),
+        "valid": np.tile(np.arange(m) < 2, (b, 1)),
+        "is_crowd": np.zeros((b, m), bool),
+    }
+    batch["masks"][:, :, 8:40, 8:40] = 1
+    new, metrics = step(state, {k: jnp.asarray(v) for k, v in batch.items()},
+                        jax.random.key(1))
+    assert np.isfinite(float(metrics["total"]))
+    old_s = flax.traverse_util.flatten_dict(state.batch_stats)
+    new_s = flax.traverse_util.flatten_dict(new.batch_stats)
+    for k in old_s:
+        np.testing.assert_array_equal(np.asarray(old_s[k]),
+                                      np.asarray(new_s[k]))
+
+
 @pytest.mark.slow
 def test_mask_rcnn_train_step_smoke():
     """Tiny full train step: finite losses, one optimizer update."""
