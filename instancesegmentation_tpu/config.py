@@ -40,6 +40,15 @@ class Config:
     model_path: str = ""
     anchors_size: Tuple[float, ...] = (24, 48, 96, 192, 384)  # configs/yolact_base.py:44
     coef_dim: int = 32
+    # OPT-IN capability (DEVIATION, default off): add a second 2x upsample
+    # stage to ProtoNet so prototypes land at input/2 instead of the
+    # paper's input/4 (nets/yolact.py:70-93 → 138² at 550). The round-2
+    # ceiling analysis (BASELINE.md "overfit gap") proved the mask-mAP
+    # plateau is the proto resolution itself — the trained model beats the
+    # binary gt oracle at input/4 — so this is the lever that raises it.
+    # Costs ~4x in the proto head + mask assembly; changes the param tree
+    # (one extra conv) so checkpoints don't interchange with the default.
+    proto_double: bool = False
     # Mask R-CNN backbone construction (resnet50_fpn_model.py:137-199,
     # called with trainable_layers=3 at models/init_model.py:42):
     # trainable_layers counts from the top — ['layer4','layer3','layer2',
@@ -141,8 +150,10 @@ class Config:
 
     @property
     def proto_shape(self) -> Tuple[int, int]:
-        # ProtoNet output = 2x P3 = input/4 (nets/yolact.py:144-148)
-        return (self.input_shape[0] // 4, self.input_shape[1] // 4)
+        # ProtoNet output = 2x P3 = input/4 (nets/yolact.py:144-148);
+        # 4x P3 = input/2 under proto_double
+        d = 2 if self.proto_double else 4
+        return (self.input_shape[0] // d, self.input_shape[1] // d)
 
     def replace(self, **kw) -> "Config":
         return dataclasses.replace(self, **kw)

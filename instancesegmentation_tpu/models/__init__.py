@@ -22,7 +22,8 @@ def get_model(cfg, train_mode: bool = True, frozen_bn: bool = None):
                       train_mode=train_mode,
                       dtype=cfg.compute_dtype,
                       frozen_bn=cfg.frozen_bn if frozen_bn is None
-                      else bool(frozen_bn))
+                      else bool(frozen_bn),
+                      proto_double=cfg.proto_double)
     if cfg.net == "mask_rcnn":
         from instancesegmentation_tpu.models.mask_rcnn.model import MaskRCNN
         return MaskRCNN(num_classes=cfg.num_classes + 1,

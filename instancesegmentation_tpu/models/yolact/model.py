@@ -59,9 +59,15 @@ class FPN(nn.Module):
 
 class ProtoNet(nn.Module):
     """3x conv -> 2x nearest upsample -> conv -> 1x1 to coef_dim, all ReLU
-    (yolact.py:70-93). Output (B, 2*H3, 2*W3, coef_dim)."""
+    (yolact.py:70-93). Output (B, 2*H3, 2*W3, coef_dim).
+
+    ``double=True`` (cfg.proto_double, opt-in deviation) inserts a second
+    upsample+conv stage before the 1x1, moving prototypes from input/4 to
+    input/2 — the mask-resolution ceiling lever identified by the round-2
+    oracle analysis (BASELINE.md)."""
     coef_dim: int = COEF_DIM
     dtype: Any = jnp.bfloat16
+    double: bool = False
 
     @nn.compact
     def __call__(self, p3):
@@ -71,6 +77,9 @@ class ProtoNet(nn.Module):
             y = nn.relu(conv(256, (3, 3), padding=1, name=f"proto1_{i}")(y))
         y = _upsample_nearest(y, (y.shape[1] * 2, y.shape[2] * 2))
         y = nn.relu(conv(256, (3, 3), padding=1, name="proto2_0")(y))
+        if self.double:
+            y = _upsample_nearest(y, (y.shape[1] * 2, y.shape[2] * 2))
+            y = nn.relu(conv(256, (3, 3), padding=1, name="proto3_0")(y))
         y = nn.relu(conv(self.coef_dim, (1, 1), name="proto2_1")(y))
         return y
 
@@ -112,6 +121,7 @@ class Yolact(nn.Module):
     # checkpoint — used by cfg.freeze_phase_bn_stats (opt-in perf mode,
     # deviates from the reference which keeps BN live in both phases).
     frozen_bn: bool = False
+    proto_double: bool = False            # cfg.proto_double (input/2 protos)
 
     def setup(self):
         self.backbone = ResNet(layers=(3, 4, 6, 3), out_stages=(2, 3, 4),
@@ -119,7 +129,8 @@ class Yolact(nn.Module):
                                frozen_bn=self.frozen_bn,
                                name="backbone")
         self.fpn = FPN(dtype=self.dtype, name="fpn")
-        self.proto_net = ProtoNet(self.coef_dim, dtype=self.dtype, name="proto_net")
+        self.proto_net = ProtoNet(self.coef_dim, dtype=self.dtype,
+                                  double=self.proto_double, name="proto_net")
         self.head = PredictionHead(self.num_classes, self.coef_dim,
                                    dtype=self.dtype, name="head")
         self.semantic_seg = nn.Conv(self.num_classes - 1, (1, 1),

@@ -164,3 +164,45 @@ def test_frozen_bn_variant_same_tree_frozen_stats(small_model):
                            mutable=["batch_stats"])[0]
     np.testing.assert_allclose(np.asarray(out[0]), np.asarray(eval_out[0]),
                                rtol=1e-5, atol=1e-5)
+
+
+def test_proto_double_resolution_and_loss():
+    """cfg.proto_double: prototypes at input/2 (one extra upsample+conv in
+    ProtoNet); the collate/loss chain follows cfg.proto_shape, and the
+    default tree is unchanged (the extra conv only exists when enabled)."""
+    from instancesegmentation_tpu.config import get_config
+    from instancesegmentation_tpu.models import get_model
+    from instancesegmentation_tpu.models.yolact.loss import multi_loss
+    from instancesegmentation_tpu.ops.anchors import yolact_anchors
+
+    cfg = get_config("yolact_synth", input_shape=(64, 64), max_instances=4,
+                     mixed_precision=False, proto_double=True)
+    assert cfg.proto_shape == (32, 32)
+    model = get_model(cfg, train_mode=True)
+    x = np.random.RandomState(0).randn(1, 64, 64, 3).astype(np.float32)
+    variables = model.init({"params": jax.random.key(0)}, x, train=True)
+    assert "proto3_0" in variables["params"]["proto_net"]
+    preds, _ = model.apply(variables, x, train=True, mutable=["batch_stats"])
+    assert preds[3].shape == (1, 32, 32, 32)     # input/2 protos
+    assert preds[4].shape == (1, 8, 8, 3)        # seg head still at P3
+
+    # loss consumes proto-res gt masks (host collate uses cfg.proto_shape)
+    hp, wp = cfg.proto_shape
+    m = cfg.max_instances
+    batch = {
+        "boxes": jnp.asarray(
+            np.tile([[0.1, 0.1, 0.6, 0.7]], (1, m, 1)).astype(np.float32)),
+        "labels": jnp.zeros((1, m), jnp.int32),
+        "masks": jnp.zeros((1, m, hp, wp)).at[:, :, 4:20, 4:20].set(1.0),
+        "valid": jnp.asarray(np.arange(m)[None] < 2),
+        "is_crowd": jnp.zeros((1, m), bool),
+    }
+    anchors = jnp.asarray(yolact_anchors((64, 64)))
+    losses = multi_loss(preds, {**batch, "anchors": anchors},
+                        jax.random.key(1), num_classes=cfg.num_classes + 1)
+    assert all(np.isfinite(float(v)) for v in losses.values())
+
+    # default (proto_double=False) param tree does NOT carry the extra conv
+    base = get_model(cfg.replace(proto_double=False), train_mode=True)
+    vb = base.init({"params": jax.random.key(0)}, x, train=True)
+    assert "proto3_0" not in vb["params"]["proto_net"]
