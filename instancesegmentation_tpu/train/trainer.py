@@ -183,6 +183,17 @@ class Trainer:
                 else:
                     self.start_epoch = int(self.state.step) // max(
                         1, len(self.train_ds) // self.batch_size)
+                if (self.frozen and meta is not None
+                        and meta.get("frozen") is False):
+                    # checkpoint was saved in the unfreeze phase: do the
+                    # phase switch NOW, carrying the restored optimizer
+                    # moments through it — the epoch-loop switch would
+                    # tx.init-reset them (opt-state trees are structurally
+                    # identical across phases, so the restore above
+                    # already holds the unfreeze-phase moments)
+                    restored_opt = self.state.opt_state
+                    self._switch_to_unfreeze()
+                    self.state = self.state.replace(opt_state=restored_opt)
                 log.info("resumed from %s at epoch %d", name, self.start_epoch)
 
     # ------------------------------------------------------------------

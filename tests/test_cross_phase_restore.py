@@ -79,6 +79,41 @@ def test_resume_across_phase(freeze_ckpt, tmp_path):
     assert tr2.start_epoch == 38
 
 
+def test_resume_preserves_unfreeze_opt_state(freeze_ckpt, tmp_path):
+    """A checkpoint saved in the UNFREEZE phase resumed by a trainer that
+    initializes in the freeze phase must carry the adam moments through
+    the init-time phase switch — the epoch-loop switch used to
+    tx.init-reset them (observed: one-step loss spike 0.018 -> 3.6 on a
+    memorization run resumed at epoch 500)."""
+    import os
+    import jax.numpy as jnp
+    from instancesegmentation_tpu.train.checkpoints import CheckpointIO
+    from instancesegmentation_tpu.train.trainer import Trainer
+    cfg, d = freeze_ckpt
+    cfg2 = cfg.replace(freeze_train=True, freeze_epoch=1, unfreeze_epoch=10,
+                       data_root=str(tmp_path / "synth"),
+                       out_root=str(tmp_path / "out"),
+                       freeze_batch_size=8, unfreeze_batch_size=8,
+                       num_workers=1)
+    tr = Trainer(cfg2)                      # builds the ckpt dir layout
+    assert tr.frozen
+
+    # forge an unfreeze-phase checkpoint whose moments are all ones —
+    # distinguishable from both a fresh tx.init (zeros) and the params
+    marked = tr.state.replace(opt_state=jax.tree_util.tree_map(
+        jnp.ones_like, tr.state.opt_state))
+    ckdir = os.path.join(cfg2.out_root, cfg2.name, "ckpt")
+    io = CheckpointIO(ckdir)
+    io.save("last_epoch_weights", marked, meta={"epoch": 5, "frozen": False})
+    io.wait()
+
+    tr2 = Trainer(cfg2, resume=True)
+    assert tr2.start_epoch == 6
+    assert not tr2.frozen                   # switched at init, not in train()
+    leaves = jax.tree_util.tree_leaves(tr2.state.opt_state)
+    assert leaves and all(bool(jnp.all(l == 1)) for l in leaves)
+
+
 def test_val_nan_aborts(freeze_ckpt, tmp_path):
     """A non-finite VAL loss must abort instead of silently polluting the
     best-checkpoint tracking (reference guards only the train loop)."""
