@@ -41,6 +41,9 @@ def main(argv=None):
 
     from train import parse_set_overrides
 
+    from instancesegmentation_tpu.utils.cache import \
+        enable_persistent_compile_cache
+    enable_persistent_compile_cache()
     from instancesegmentation_tpu.config import get_config
     from instancesegmentation_tpu.data.datasets import (SegDataset,
                                                         get_annotation,

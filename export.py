@@ -50,6 +50,9 @@ def main(argv=None):
     import jax
     import numpy as np
 
+    from instancesegmentation_tpu.utils.cache import \
+        enable_persistent_compile_cache
+    enable_persistent_compile_cache()
     from instancesegmentation_tpu.config import get_config
     from instancesegmentation_tpu.models import get_model
 

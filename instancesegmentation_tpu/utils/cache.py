@@ -1,0 +1,39 @@
+"""Persistent XLA compilation cache for the CLI entry points.
+
+First TPU compiles of the train/eval/predict graphs cost minutes through
+the remote-compile path; the persistent cache brings every subsequent
+process (resume, re-eval, predict on a trained run) down to seconds.
+The bench tools under tools/ already do this — the CLIs route through
+here so the behavior is uniform.
+
+Respects ``JAX_COMPILATION_CACHE_DIR`` when the environment sets one;
+otherwise defaults to ``~/.cache/instseg_jax``.
+"""
+
+from __future__ import annotations
+
+import os
+
+_DEFAULT_DIR = os.path.expanduser("~/.cache/instseg_jax")
+
+
+def enable_persistent_compile_cache(path: str | None = None) -> str:
+    """Point JAX at a persistent on-disk compilation cache.
+
+    Must run before the first compilation (any time before is fine —
+    the config flags are read at compile time). Returns the cache dir.
+    """
+    import jax
+
+    current = jax.config.jax_compilation_cache_dir
+    if current and path is None:
+        # already configured (tests/conftest.py points at tests/.jax_cache;
+        # an env var would have set this too) — don't fight it
+        return current
+    cache_dir = (path or os.environ.get("JAX_COMPILATION_CACHE_DIR")
+                 or _DEFAULT_DIR)
+    os.makedirs(cache_dir, exist_ok=True)
+    jax.config.update("jax_compilation_cache_dir", cache_dir)
+    # don't pay a disk write for trivial compiles (reshapes, init stubs)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    return cache_dir

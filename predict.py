@@ -66,6 +66,10 @@ def main(argv=None):
 
     import cv2
     import numpy as np
+
+    from instancesegmentation_tpu.utils.cache import \
+        enable_persistent_compile_cache
+    enable_persistent_compile_cache()
     cfg, model = build_predictor(args)
 
     def read_rgb(path):

@@ -123,6 +123,9 @@ def main(argv=None):
         json.dump({**vars(args), "config": cfg.__dict__.__repr__()}, f,
                   indent=2, default=str)
 
+    from instancesegmentation_tpu.utils.cache import \
+        enable_persistent_compile_cache
+    enable_persistent_compile_cache()
     from instancesegmentation_tpu.train.trainer import Trainer
     trainer = Trainer(cfg, resume=args.resume,
                       max_steps_per_epoch=8 if args.smoke else None)
