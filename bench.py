@@ -135,11 +135,11 @@ def bench_mask_rcnn(batch: int, iters: int) -> float:
 def main():
     import jax
 
-    # persistent compile cache: TPU remote compiles are expensive
-    jax.config.update("jax_compilation_cache_dir",
-                      os.environ.get("JAX_COMPILATION_CACHE_DIR",
-                                     "/root/.cache/jax_bench"))
-    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    # persistent compile cache: TPU remote compiles are expensive; the
+    # shared helper keeps CLIs and benches on one cache directory
+    from instancesegmentation_tpu.utils.cache import \
+        enable_persistent_compile_cache
+    enable_persistent_compile_cache()
 
     args = parse_args()
 

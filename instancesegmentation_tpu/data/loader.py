@@ -9,17 +9,36 @@ one jitted train step serves the whole run with zero recompiles.
 Masks are pre-downsampled on host to the loss resolution (YOLACT: proto
 resolution — see models/yolact/loss.py docstring) so the device never sees
 (B, M, 544, 544) tensors it would immediately shrink.
+
+Images ship as RAW uint8 RGB — a 4x H2D byte cut vs the reference's
+normalized-f32 boundary (models/script.py:163-166); the mean/std affine
+runs inside the jitted step (ops/preprocess.py). Quantizing the augmented
+float image back to 8 bits (round + clip) perturbs pixels by at most
+0.5/58 ≈ 0.9% of one normalized std — measured loss-curve delta on a
+same-seed smoke run is noise-level (docs/PERF_NOTES.md "uint8 H2D").
 """
 
 from __future__ import annotations
 
 import queue
 import threading
+from concurrent.futures import ThreadPoolExecutor
 from typing import Callable, Dict, Iterator, Optional, Tuple
 
 import numpy as np
 
-from instancesegmentation_tpu.data.augment import normalize_image
+from instancesegmentation_tpu.ops.preprocess import (IMAGENET_MEAN,
+                                                     IMAGENET_STD)
+
+
+def quantize_uint8(image: np.ndarray) -> np.ndarray:
+    """Float 0-255 image -> uint8 (round, clip). The augmentation pipeline
+    can push values slightly outside [0, 255] (brightness/contrast,
+    augment.py:39-64, unclamped in the reference too); clipping those
+    tails is part of the documented 8-bit boundary deviation."""
+    if image.dtype == np.uint8:
+        return image
+    return np.clip(np.rint(image), 0, 255).astype(np.uint8)
 
 
 class YolactCollate:
@@ -54,7 +73,7 @@ class YolactCollate:
         else:
             mh, mw = h, w
 
-        images = np.zeros((b, h, w, 3), np.float32)
+        images = np.zeros((b, h, w, 3), np.uint8)
         boxes = np.zeros((b, m, 4), np.float32)
         labels = np.zeros((b, m), np.int32)
         masks = np.zeros((b, m, mh, mw), np.uint8)
@@ -63,7 +82,7 @@ class YolactCollate:
         image_ids = np.zeros((b,), np.int64)
 
         for i, s in enumerate(samples):
-            images[i] = normalize_image(s["image"])
+            images[i] = quantize_uint8(s["image"])
             n = min(len(s["labels"]), m)
             if n:
                 boxes[i, :n] = s["boxes"][:n]
@@ -79,33 +98,54 @@ class YolactCollate:
 
 class RcnnCollate(YolactCollate):
     """Mask R-CNN batch: gt masks stay at IMAGE resolution (the mask loss
-    projects them onto rois with 28x28 roi_align, roi_head.py:94-146), and
-    the image gets the reference's double normalization: preprocess_input
-    at the dataset level (inst_model/Mask_RCNN/utils/dataloader.py:214)
-    followed by GeneralizedRCNNTransform's ImageNet normalize
-    (faster_rcnn_framework.py:356-361) — an affine quirk kept for training
-    -dynamics parity."""
+    projects them onto rois with 28x28 roi_align, roi_head.py:94-146).
+    Images ship uint8 like YolactCollate; the reference's DOUBLE
+    normalization — preprocess_input at the dataset level
+    (inst_model/Mask_RCNN/utils/dataloader.py:214) followed by
+    GeneralizedRCNNTransform's ImageNet normalize
+    (faster_rcnn_framework.py:356-361), an affine quirk kept for
+    training-dynamics parity — is folded into one fused mean/std applied
+    on device (ops/preprocess.py RCNN_MEAN/RCNN_STD)."""
 
-    IMAGENET_MEAN = np.array([0.485, 0.456, 0.406], np.float32)
-    IMAGENET_STD = np.array([0.229, 0.224, 0.225], np.float32)
+    # kept as class attrs for existing callers (tools/box_head_oracle.py)
+    IMAGENET_MEAN = IMAGENET_MEAN
+    IMAGENET_STD = IMAGENET_STD
 
     def __init__(self, max_instances: int = 48):
         super().__init__(max_instances, mask_hw=None)
 
-    def __call__(self, samples):
-        batch = super().__call__(samples)
-        batch["image"] = ((batch["image"] - self.IMAGENET_MEAN)
-                          / self.IMAGENET_STD)
-        return batch
+
+_POOL: Optional[ThreadPoolExecutor] = None
+_POOL_SIZE = 0
+_POOL_LOCK = threading.Lock()
+
+
+def _shared_pool(num_workers: int) -> ThreadPoolExecutor:
+    """Process-wide decode/augment pool, created once and reused across
+    epochs and Loader instances. The trainer builds fresh loaders every
+    epoch (reference trainer.py:202-207 does the same); spinning up a new
+    ThreadPoolExecutor each time paid thread create/join per epoch
+    (round-3 advisor finding). Grow-only: a larger request swaps in a
+    bigger pool and lets the old one drain its in-flight work."""
+    global _POOL, _POOL_SIZE
+    with _POOL_LOCK:
+        if _POOL is None or _POOL_SIZE < num_workers:
+            old = _POOL
+            _POOL = ThreadPoolExecutor(num_workers,
+                                       thread_name_prefix="instseg-loader")
+            _POOL_SIZE = num_workers
+            if old is not None:
+                old.shutdown(wait=False)
+        return _POOL
 
 
 class Loader:
     """Shuffling, epoch-based loader with background worker threads.
 
     The reference uses torch DataLoader worker processes
-    (models/init_model.py:127-136); here a thread pool decodes/augments
-    (cv2/numpy release the GIL for the heavy parts) and a bounded queue
-    keeps `prefetch` batches ready for the device.
+    (models/init_model.py:127-136); here a shared thread pool
+    decodes/augments (cv2/numpy release the GIL for the heavy parts) and a
+    bounded queue keeps `prefetch` batches ready for the device.
     """
 
     def __init__(self, dataset, batch_size: int, collate: Callable,
@@ -183,17 +223,16 @@ class Loader:
         def producer():
             try:
                 from collections import deque
-                from concurrent.futures import ThreadPoolExecutor
                 window = self.num_workers + self.prefetch
-                with ThreadPoolExecutor(self.num_workers) as pool:
-                    inflight: deque = deque()
-                    nxt = 0
-                    while nxt < nb or inflight:
-                        while nxt < nb and len(inflight) < window:
-                            inflight.append(pool.submit(make_batch, nxt))
-                            nxt += 1
-                        if not put_or_stop(inflight.popleft().result()):
-                            return
+                pool = _shared_pool(self.num_workers)
+                inflight: deque = deque()
+                nxt = 0
+                while nxt < nb or inflight:
+                    while nxt < nb and len(inflight) < window:
+                        inflight.append(pool.submit(make_batch, nxt))
+                        nxt += 1
+                    if not put_or_stop(inflight.popleft().result()):
+                        return
             except BaseException as e:  # surface worker errors to consumer
                 put_or_stop(e)
 

@@ -79,36 +79,45 @@ class MaskRCNNPredictor:
         # on the tunneled backend (~3.7 s for Mask R-CNN; utils/device.py)
         from instancesegmentation_tpu.utils.device import pin_to_device
         self.variables = pin_to_device(variables)
-        self._infer = jax.jit(make_mask_rcnn_infer_fn(
+        inner = make_mask_rcnn_infer_fn(
             self.model, cfg, max_det=cfg.max_detections,
-            nms_thresh=self.nms_iou))
+            nms_thresh=self.nms_iou)
+
+        def infer_u8(variables, x):
+            # H2D ships uint8; fused double-normalize on device
+            from instancesegmentation_tpu.ops.preprocess import \
+                normalize_on_device
+            return inner(variables, normalize_on_device(x, "mask_rcnn"))
+
+        self._infer = jax.jit(infer_u8)
 
     def _preprocess(self, image_rgb: np.ndarray):
         """Returns (x[None], (fx, fy)) where model-coord boxes map back to
-        the original image as box * (fx, fy, fx, fy)."""
+        the original image as box * (fx, fy, fx, fy). Output stays uint8 —
+        the reference predictor resizes a PIL image (8-bit, BICUBIC,
+        inst_model/Mask_RCNN/mask_rcnn.py:143-150), so the quantized
+        boundary matches its numerics; normalization runs on device."""
         import cv2
-        from instancesegmentation_tpu.data.augment import normalize_image
-        from instancesegmentation_tpu.data.loader import RcnnCollate
+        from instancesegmentation_tpu.data.loader import quantize_uint8
         h, w = image_rgb.shape[:2]
+        img_u8 = quantize_uint8(image_rgb)
         if self.buckets is not None:
             from instancesegmentation_tpu.data.aspect_ratio import \
                 nearest_bucket
             th, tw = nearest_bucket(h, w, self.buckets)
             s = min(th / h, tw / w)
             nh, nw = max(1, int(round(h * s))), max(1, int(round(w * s)))
-            resized = cv2.resize(image_rgb.astype(np.float32), (nw, nh),
+            resized = cv2.resize(img_u8, (nw, nh),
                                  interpolation=cv2.INTER_CUBIC)
-            canvas = np.full((th, tw, 3), 128.0, np.float32)  # gray pad,
+            canvas = np.full((th, tw, 3), 128, np.uint8)      # gray pad,
             canvas[:nh, :nw] = resized        # top-left like training
             x = canvas
             scale = (w / nw, h / nh)
         else:
             ih, iw = self.input_shape
-            x = cv2.resize(image_rgb.astype(np.float32), (iw, ih),
+            x = cv2.resize(img_u8, (iw, ih),
                            interpolation=cv2.INTER_CUBIC)
             scale = (w / iw, h / ih)
-        x = normalize_image(x)
-        x = (x - RcnnCollate.IMAGENET_MEAN) / RcnnCollate.IMAGENET_STD
         return x[None], scale
 
     def _finish(self, dets_i, probs_i, orig_hw, thresh, scale):

@@ -141,8 +141,14 @@ def maskrcnn_loss(mask_logits: jnp.ndarray, mask_rois: jnp.ndarray,
     if not aligned:
         rw = jnp.maximum(rw, 1.0)
         rh = jnp.maximum(rh, 1.0)
-    by = ra._interp_pool_matrix(y1, rh / oh, hh, oh, 2, jnp.float32)
-    bx = ra._interp_pool_matrix(x1, rw / ow, ww, ow, 2, jnp.float32)
+    # sampling_ratio=-1: torchvision's ADAPTIVE grid — the reference's
+    # project_masks_on_boxes calls roi_align with the default sampling
+    # ratio (roi_head.py:106), i.e. ceil(roi/28) samples per bin, so a
+    # large roi projects from its full extent rather than a 2x2 subsample
+    # (closes docs/COMPONENTS.md deviation 3; feature pooling stays at 2
+    # per faster_rcnn_framework.py:329)
+    by = ra._interp_pool_matrix(y1, rh / oh, hh, oh, -1, jnp.float32)
+    bx = ra._interp_pool_matrix(x1, rw / ow, ww, ow, -1, jnp.float32)
     # HIGHEST precision: these produce TRAINING TARGETS; default-precision
     # f32 einsums run in bf16 on TPU (torchvision computes this in f32)
     hi = jax.lax.Precision.HIGHEST

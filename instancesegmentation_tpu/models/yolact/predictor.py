@@ -59,16 +59,26 @@ class YolactPredictor:
         infer = make_infer_fn(self.model, self.anchors, self.confidence,
                               self.nms_iou, cfg.top_k, cfg.max_detections,
                               traditional_nms=cfg.traditional_nms)
-        self._infer = jax.jit(infer)
+
+        def infer_u8(variables, x):
+            # H2D ships uint8 (4x byte cut); normalize fuses into the graph
+            from instancesegmentation_tpu.ops.preprocess import \
+                normalize_on_device
+            return infer(variables, normalize_on_device(x, "yolact"))
+
+        self._infer = jax.jit(infer_u8)
 
     # ------------------------------------------------------------------
     def _preprocess(self, image_rgb: np.ndarray) -> np.ndarray:
+        """Resize to input_shape, keep uint8. The reference resizes a PIL
+        image (yolact.py:131-145, BICUBIC) whose output is ALREADY 8-bit,
+        so quantized-uint8 shipping matches its numerics exactly."""
         import cv2
-        from instancesegmentation_tpu.data.augment import normalize_image
+        from instancesegmentation_tpu.data.loader import quantize_uint8
         ih, iw = self.input_shape
-        resized = cv2.resize(image_rgb.astype(np.float32), (iw, ih),
+        resized = cv2.resize(quantize_uint8(image_rgb), (iw, ih),
                              interpolation=cv2.INTER_CUBIC)
-        return normalize_image(resized)[None]
+        return resized[None]
 
     def raw_detect(self, image_rgb: np.ndarray):
         """Forward + NMS; returns host-finished detections dict."""

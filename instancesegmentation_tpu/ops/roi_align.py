@@ -92,21 +92,41 @@ def _interp_pool_matrix(starts: jnp.ndarray, bins: jnp.ndarray, size: int,
                         ) -> jnp.ndarray:
     """Per-roi 1-D interpolation+pooling operator B (out_bins, size).
 
-    B[i, h] = mean over the roi's ``sampling_ratio`` samples in bin i of the
-    bilinear weight each sample places on source index h. RoIAlign is then
-    the bilinear-sampled, bin-averaged map  out = B_y @ feat @ B_x^T  —
+    B[i, h] = mean over the roi's samples in bin i of the bilinear weight
+    each sample places on source index h. RoIAlign is then the
+    bilinear-sampled, bin-averaged map  out = B_y @ feat @ B_x^T  —
     bilinear sampling and average pooling are both linear, so the whole op
     folds into two dense matmuls that run on the MXU instead of gathers.
+
+    ``sampling_ratio``: samples per bin side; -1 selects torchvision's
+    ADAPTIVE count ``ceil(roi_size / out_bins)`` per roi. Adaptive counts
+    are data-dependent, so the STATIC sample axis is sized to the exact
+    upper bound ``ceil(size / out_bins)`` (a roi cannot exceed the source)
+    and each roi's unused sample slots get weight zero — same numbers as
+    torchvision's per-roi loop, static shapes for XLA.
 
     starts: (R,) roi start coordinate (scaled); bins: (R,) bin size.
     Returns (R, out_bins, size).
     """
-    s = sampling_ratio
-    off = (jnp.arange(s, dtype=dtype) + 0.5) / s                   # (s,)
-    # sample coords: (R, out_bins, s)
-    coords = (starts[:, None, None]
-              + (jnp.arange(out_bins, dtype=dtype)[None, :, None]
-                 + off[None, None, :]) * bins[:, None, None])
+    if sampling_ratio == -1:
+        # adaptive: n_r = ceil(bins_r) samples, statically bounded
+        s = max(1, -(-size // out_bins))
+        n = jnp.clip(jnp.ceil(bins), 1, s)                          # (R,) f32
+        i = jnp.arange(s, dtype=dtype)
+        off = (i[None, :] + 0.5) / n[:, None]                       # (R, s)
+        w_samp = jnp.where(i[None, :] < n[:, None],
+                           1.0 / n[:, None], 0.0)                   # (R, s)
+        coords = (starts[:, None, None]
+                  + (jnp.arange(out_bins, dtype=dtype)[None, :, None]
+                     + off[:, None, :]) * bins[:, None, None])
+    else:
+        s = sampling_ratio
+        off = (jnp.arange(s, dtype=dtype) + 0.5) / s                # (s,)
+        w_samp = None                                               # uniform
+        # sample coords: (R, out_bins, s)
+        coords = (starts[:, None, None]
+                  + (jnp.arange(out_bins, dtype=dtype)[None, :, None]
+                     + off[None, None, :]) * bins[:, None, None])
     valid = (coords >= -1.0) & (coords <= size)
     c = jnp.clip(coords, 0.0, size - 1)
     c0 = jnp.floor(c)
@@ -118,7 +138,9 @@ def _interp_pool_matrix(starts: jnp.ndarray, bins: jnp.ndarray, size: int,
     w0 = ((iota == c0i[..., None]) * (1.0 - frac[..., None])
           + (iota == c1i[..., None]) * frac[..., None])             # (R,ob,s,size)
     w0 = w0 * valid[..., None]
-    return jnp.mean(w0, axis=2).astype(dtype)                       # (R,ob,size)
+    if w_samp is None:
+        return jnp.mean(w0, axis=2).astype(dtype)                   # (R,ob,size)
+    return jnp.einsum("rbsh,rs->rbh", w0, w_samp).astype(dtype)
 
 
 def roi_align_separable(feat: jnp.ndarray, rois: jnp.ndarray,

@@ -19,6 +19,7 @@ import jax.numpy as jnp
 import optax
 
 from instancesegmentation_tpu.models.yolact.loss import multi_loss
+from instancesegmentation_tpu.ops.preprocess import normalize_on_device
 from instancesegmentation_tpu.train.state import (TrainState,
                                                   backbone_trainability,
                                                   ema_update)
@@ -76,7 +77,9 @@ def make_yolact_train_step(model, tx, anchors, cfg, frozen_backbone=False):
     def loss_fn(raw_params, batch_stats, batch, rng):
         params = _freeze_guard(raw_params, cfg, frozen_backbone)
         variables = {"params": params, "batch_stats": batch_stats}
-        outputs, mutated = model.apply(variables, batch["image"], train=True,
+        # uint8 from the loader -> normalize here (ops/preprocess.py)
+        image = normalize_on_device(batch["image"], "yolact")
+        outputs, mutated = model.apply(variables, image, train=True,
                                        mutable=["batch_stats"])
         loss_batch = {"boxes": batch["boxes"], "labels": batch["labels"],
                       "masks": batch["masks"], "valid": batch["valid"],
@@ -117,6 +120,8 @@ def make_mask_rcnn_train_step(model, tx, cfg, frozen_backbone=False):
     inner_loss = make_mask_rcnn_train_fns(model, cfg, train=True)
 
     def loss_fn(raw_params, batch_stats, batch, rng):
+        batch = dict(batch, image=normalize_on_device(batch["image"],
+                                                      "mask_rcnn"))
         return inner_loss(_freeze_guard(raw_params, cfg, frozen_backbone),
                           batch_stats, batch, rng)
 
@@ -144,6 +149,8 @@ def make_mask_rcnn_eval_step(model, cfg, use_ema: bool):
     def eval_step(state: TrainState, batch, rng):
         params = state.ema_params if (use_ema and state.ema_params is not None) \
             else state.params
+        batch = dict(batch, image=normalize_on_device(batch["image"],
+                                                      "mask_rcnn"))
         total, (losses, _) = loss_fn(params, state.batch_stats, batch, rng)
         out = dict(losses)
         out["total"] = total
@@ -162,7 +169,8 @@ def make_yolact_eval_step(model, anchors, cfg, use_ema: bool):
             else state.params
         outputs = model.apply({"params": params,
                                "batch_stats": state.batch_stats},
-                              batch["image"], train=False)
+                              normalize_on_device(batch["image"], "yolact"),
+                              train=False)
         loss_batch = {"boxes": batch["boxes"], "labels": batch["labels"],
                       "masks": batch["masks"], "valid": batch["valid"],
                       "is_crowd": batch["is_crowd"], "anchors": anchors}

@@ -7,14 +7,17 @@ The bench tools under tools/ already do this — the CLIs route through
 here so the behavior is uniform.
 
 Respects ``JAX_COMPILATION_CACHE_DIR`` when the environment sets one;
-otherwise defaults to ``~/.cache/instseg_jax``.
+otherwise defaults to ``~/.cache/jax_bench`` — the SAME directory the
+bench tools use, so CLI runs and benchmarks share every compiled graph
+(round-3 advisor finding: split defaults made each side pay its own
+minutes-long first TPU compile).
 """
 
 from __future__ import annotations
 
 import os
 
-_DEFAULT_DIR = os.path.expanduser("~/.cache/instseg_jax")
+_DEFAULT_DIR = os.path.expanduser("~/.cache/jax_bench")
 
 
 def enable_persistent_compile_cache(path: str | None = None) -> str:

@@ -35,14 +35,17 @@ def _numpy_roi_align(feat_hwc, rois, out_size, scale, sampling_ratio,
         if not aligned:
             rw, rh = max(rw, 1.0), max(rh, 1.0)
         bw, bh = rw / ow, rh / oh
+        # torchvision adaptive grid: ceil(roi_size / out_size) per axis
+        sy_n = s if s > 0 else max(1, int(np.ceil(rh / oh)))
+        sx_n = s if s > 0 else max(1, int(np.ceil(rw / ow)))
         for i in range(oh):
             for j in range(ow):
                 acc = np.zeros(c)
-                for sy in range(s):
-                    for sx in range(s):
-                        acc += sample(y1 + (i + (sy + 0.5) / s) * bh,
-                                      x1 + (j + (sx + 0.5) / s) * bw)
-                out[ri, i, j] = acc / (s * s)
+                for sy in range(sy_n):
+                    for sx in range(sx_n):
+                        acc += sample(y1 + (i + (sy + 0.5) / sy_n) * bh,
+                                      x1 + (j + (sx + 0.5) / sx_n) * bw)
+                out[ri, i, j] = acc / (sy_n * sx_n)
     return out.astype(np.float32)
 
 
@@ -87,6 +90,51 @@ def test_roi_align_separable_equals_gather(rng, scale, sr):
     b = np.asarray(ra.roi_align_separable(jnp.asarray(feat),
                                           jnp.asarray(rois), (7, 7), scale, sr))
     np.testing.assert_allclose(a, b, rtol=1e-4, atol=1e-4)
+
+
+@pytest.mark.parametrize("scale", [1.0, 0.25])
+def test_roi_align_separable_adaptive_matches_golden(rng, scale):
+    """sampling_ratio=-1 (torchvision's adaptive ceil(roi/out) grid — the
+    default the reference's mask-target projection uses, roi_head.py:106)
+    vs the scalar golden: small rois (grid 1), medium, and a roi spanning
+    most of the source (grid ~3-4 per axis)."""
+    feat = rng.randn(24, 32, 6).astype(np.float32)
+    rois = np.array([[4, 4, 9, 8],            # < out_size -> 1 sample/bin
+                     [0, 0, 16, 16],
+                     [1, 2, 31, 23],          # near-full canvas
+                     [2.5, 3.5, 30.2, 21.9]], np.float32) / scale
+    golden = _numpy_roi_align(feat, rois, (7, 7), scale, -1)
+    sep = np.asarray(ra.roi_align_separable(
+        jnp.asarray(feat), jnp.asarray(rois), (7, 7), scale, -1))
+    np.testing.assert_allclose(sep, golden, rtol=1e-4, atol=1e-4)
+    # the deviation this closes was real: for large rois the fixed-2 grid
+    # subsamples and disagrees with the adaptive result
+    fixed2 = _numpy_roi_align(feat, rois, (7, 7), scale, 2)
+    assert np.abs(fixed2[2] - golden[2]).max() > 1e-3
+
+
+def test_adaptive_target_projection_large_roi():
+    """28^2 gt-mask projection with a roi larger than 56 px: the adaptive
+    grid must see every source pixel (a thin stripe entirely INSIDE a bin
+    but between the fixed-2 sample points is invisible to sampling_ratio=2
+    yet pooled by adaptive)."""
+    hw = 112
+    mask = np.zeros((hw, hw, 1), np.float32)
+    mask[:, :] = 0.0
+    # 1-px-wide horizontal stripes at rows 1 mod 4: bin height = 4 px at
+    # roi 112 -> fixed-2 samples rows x.0+1.0/3.0-ish, adaptive (grid 4)
+    # averages all rows
+    mask[1::4, :] = 1.0
+    rois = np.array([[0, 0, hw, hw]], np.float32)
+    adaptive = np.asarray(ra.roi_align_separable(
+        jnp.asarray(mask), jnp.asarray(rois), (28, 28), 1.0, -1))
+    golden = _numpy_roi_align(mask, rois, (28, 28), 1.0, -1)
+    np.testing.assert_allclose(adaptive, golden, rtol=1e-4, atol=1e-4)
+    # every 4-px bin holds exactly one stripe: adaptive mean = 1/4 + the
+    # bilinear spread, far from the fixed-2 estimate on the same bins
+    fixed2 = np.asarray(ra.roi_align_separable(
+        jnp.asarray(mask), jnp.asarray(rois), (28, 28), 1.0, 2))
+    assert np.abs(adaptive - fixed2).max() > 0.05
 
 
 def test_multiscale_separable_equals_gather(rng):

@@ -30,11 +30,13 @@ def main():
     ap.add_argument("--num_workers", type=int, default=None,
                     help="override cfg.num_workers")
     ap.add_argument("--epochs", type=int, default=6,
-                    help="epochs to iterate (first is warmup)")
+                    help="epochs to iterate (first is warmup; >= 2)")
     ap.add_argument("--no_augment", action="store_true")
     ap.add_argument("--set", action="append", default=[], metavar="KEY=VAL",
                     dest="overrides")
     args = ap.parse_args()
+    if args.epochs < 2:
+        ap.error("--epochs must be >= 2 (the first epoch is warmup)")
 
     from train import parse_set_overrides
 
@@ -52,12 +54,18 @@ def main():
         cfg = cfg.replace(**parse_set_overrides(args.overrides, cfg))
     if args.no_augment:
         cfg = cfg.replace(augment=False)
-    workers = args.num_workers or cfg.num_workers
+    workers = (args.num_workers if args.num_workers is not None
+               else cfg.num_workers)
 
-    ann = (synthetic_annotation(cfg.data_root) if cfg.exp_name == "shape"
+    # mirror the trainer's bucket handling (trainer.py:71-95) so benching
+    # a bucketed config measures the transform training actually runs
+    keep_aspect = bool(cfg.resolution_buckets)
+    ann = (synthetic_annotation(cfg.data_root, vary_aspect=keep_aspect)
+           if cfg.exp_name == "shape"
            else get_annotation(cfg.exp_name, cfg.data_root,
                                list(cfg.class_names)))
-    tf = (Augmentation if cfg.augment else BaseTransform)(cfg.input_shape)
+    tf = (Augmentation if cfg.augment else BaseTransform)(
+        cfg.input_shape, keep_aspect=keep_aspect)
     ds = SegDataset(ann.train_image_path, ann.train_coco, ann.label_map,
                     transform=tf)
     collate = (YolactCollate(cfg.max_instances, cfg.proto_shape)
@@ -68,8 +76,6 @@ def main():
     t0 = None
     for e in range(args.epochs):
         for batch in loader.epoch(e):
-            if t0 is None:          # first batch of warmup epoch excluded
-                pass
             n_img += batch["image"].shape[0]
         if e == 0:                  # warmup epoch: reset counters
             n_img = 0

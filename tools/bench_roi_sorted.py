@@ -28,7 +28,9 @@ def main():
     import jax
     import jax.numpy as jnp
 
-    jax.config.update("jax_compilation_cache_dir", "/root/.cache/jax_bench")
+    from instancesegmentation_tpu.utils.cache import \
+        enable_persistent_compile_cache
+    enable_persistent_compile_cache()
 
     from instancesegmentation_tpu.ops.pallas.roi_align_sorted import \
         multiscale_roi_align_sorted

@@ -32,7 +32,8 @@ def make_batch(cfg, batch):
     boxes[..., :2] = xy
     boxes[..., 2:] = np.minimum(xy + wh, 0.99)
     out = {
-        "image": rs.randn(batch, h, w, 3).astype(np.float32),
+        # uint8 like the live loader (normalize runs inside the step)
+        "image": rs.randint(0, 256, (batch, h, w, 3)).astype(np.uint8),
         "boxes": boxes,
         "labels": rs.randint(0, cfg.num_classes, (batch, g)).astype(np.int32),
         "valid": np.ones((batch, g), bool),
@@ -67,8 +68,9 @@ def main():
 
     import jax
 
-    jax.config.update("jax_compilation_cache_dir", "/root/.cache/jax_bench")
-    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    from instancesegmentation_tpu.utils.cache import \
+        enable_persistent_compile_cache
+    enable_persistent_compile_cache()
 
     from instancesegmentation_tpu.config import get_config
     from instancesegmentation_tpu.models import get_model
@@ -131,6 +133,14 @@ def main():
     dt = (time.perf_counter() - t0) / args.iters
     print(f"{cfg.net} {cfg.input_shape} b{args.batch}: "
           f"{dt * 1e3:.1f} ms/step = {args.batch / dt:.1f} img/s")
+    try:
+        ms = dev.memory_stats() or {}
+    except Exception:
+        ms = {}
+    if ms.get("peak_bytes_in_use"):
+        print(f"HBM peak {ms['peak_bytes_in_use'] / 2**30:.2f} GiB"
+              + (f" / limit {ms['bytes_limit'] / 2**30:.2f} GiB"
+                 if ms.get("bytes_limit") else ""))
 
 
 if __name__ == "__main__":
