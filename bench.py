@@ -8,13 +8,21 @@ test_interval forward+decode iterations).
 Prints ONE json line. The primary metric is YOLACT-R50 544^2 batch-1
 inference (the BASELINE.json north star); `extra_metrics` carries the
 batch-16 YOLACT row (the device-bound number — batch 1 sits on the ~1 ms
-tunnel dispatch floor) and Mask R-CNN R50-FPN 544^2 batch 1 (the full
-RPN -> NMS -> RoIAlign -> heads -> per-class NMS -> 28^2 mask graph).
+tunnel dispatch floor), Mask R-CNN R50-FPN 544^2 batch 1 AND batch 8 (the
+full RPN -> NMS -> RoIAlign -> heads -> per-class NMS -> 28^2 mask
+graph), and one TRAINING row (YOLACT b8 full train step: fwd + multi-task
+loss + bwd + fused adam/EMA).
+
+Every number is the MEDIAN of --repeats timed windows; `spread_pct` =
+(max-min)/median*100 so round-over-round drift is distinguishable from
+tunnel noise (round-3 verdict item 7).
 
 Baselines: 42.5 FPS = YOLACT paper R50-550 on Titan Xp (arXiv 1904.02689;
 the reference repo publishes no numbers of its own — BASELINE.md);
 5.13 FPS = Mask R-CNN paper "~195 ms per frame" on an M40
-(arXiv 1703.06870 §4.2).
+(arXiv 1703.06870 §4.2); the train row's baseline is this framework's own
+round-1 measurement (203.8 img/s, BASELINE.md) — the reference publishes
+no training throughput.
 """
 
 import os
@@ -29,6 +37,7 @@ import time
 
 YOLACT_BASELINE_FPS = 42.5
 MASK_RCNN_BASELINE_FPS = 1000.0 / 195.0
+YOLACT_TRAIN_R1_BASELINE = 203.8      # round-1 self-baseline (BASELINE.md)
 
 
 def parse_args(argv=None):
@@ -40,6 +49,9 @@ def parse_args(argv=None):
                         "(--model all always measures yolact b1+b16 and "
                         "mask_rcnn b1)")
     p.add_argument("--iters", type=int, default=100)
+    p.add_argument("--repeats", type=int, default=3,
+                   help="timed windows per metric; value = median, "
+                        "spread_pct = (max-min)/median")
     return p.parse_args(argv)
 
 
@@ -66,23 +78,27 @@ def _pin(tree):
     return pin_to_device(jax.device_put(tree, jax.devices()[0]))
 
 
-def _timed(infer, variables, image, iters, sync):
+def _timed(infer, variables, image, iters, sync, repeats=3):
     """get_FPS loop. Timing must end with a host materialization of a
     SCALAR: on the tunneled backend block_until_ready acks dispatch, not
-    completion, and np.asarray of a large output measures the tunnel."""
+    completion, and np.asarray of a large output measures the tunnel.
+    Returns a list of per-window mean seconds/iter (len = repeats)."""
     out = infer(variables, image)
     sync(out)
     for _ in range(5):
         out = infer(variables, image)
     sync(out)
-    t0 = time.perf_counter()
-    for _ in range(iters):
-        out = infer(variables, image)
-    sync(out)
-    return (time.perf_counter() - t0) / iters
+    dts = []
+    for _ in range(repeats):
+        t0 = time.perf_counter()
+        for _ in range(iters):
+            out = infer(variables, image)
+        sync(out)
+        dts.append((time.perf_counter() - t0) / iters)
+    return dts
 
 
-def bench_yolact(batch: int, iters: int) -> float:
+def bench_yolact(batch: int, iters: int, repeats: int = 3):
     import jax
     import numpy as np
 
@@ -104,11 +120,11 @@ def bench_yolact(batch: int, iters: int) -> float:
     def sync(o):
         return float(np.asarray(o.scores).ravel()[0])
 
-    dt = _timed(infer, variables, image, iters, sync)
-    return batch / dt
+    return [batch / d for d in
+            _timed(infer, variables, image, iters, sync, repeats)]
 
 
-def bench_mask_rcnn(batch: int, iters: int) -> float:
+def bench_mask_rcnn(batch: int, iters: int, repeats: int = 3):
     import jax
     import numpy as np
 
@@ -128,8 +144,69 @@ def bench_mask_rcnn(batch: int, iters: int) -> float:
     def sync(o):
         return float(np.asarray(o[0].scores).ravel()[0])
 
-    dt = _timed(infer, variables, image, iters, sync)
-    return batch / dt
+    return [batch / d for d in
+            _timed(infer, variables, image, iters, sync, repeats)]
+
+
+def bench_yolact_train(batch: int, iters: int, repeats: int = 3):
+    """Full YOLACT train step (fwd + multi-task loss + bwd + fused
+    optimizer/EMA), bf16, uint8 batch like the live loader — the
+    tools/bench_train_step.py protocol as a standing BENCH metric."""
+    import jax
+    import numpy as np
+
+    from instancesegmentation_tpu.config import get_config
+    from instancesegmentation_tpu.models import get_model
+    from instancesegmentation_tpu.ops.anchors import yolact_anchors
+    from instancesegmentation_tpu.train.state import (create_train_state,
+                                                      make_phase_optimizer)
+    from instancesegmentation_tpu.train.steps import make_yolact_train_step
+    from instancesegmentation_tpu.utils.device import pin_to_device
+
+    cfg = get_config("yolact_base", mixed_precision=True, ema=True)
+    model = get_model(cfg, train_mode=True)
+    h, w = cfg.input_shape
+    g = cfg.max_instances
+    rs = np.random.RandomState(0)
+    ph, pw = cfg.proto_shape
+    xy = rs.uniform(0.1, 0.6, (batch, g, 2))
+    wh = rs.uniform(0.1, 0.35, (batch, g, 2))
+    batch_np = {
+        "image": rs.randint(0, 256, (batch, h, w, 3)).astype(np.uint8),
+        "boxes": np.concatenate([xy, np.minimum(xy + wh, 1.0)],
+                                -1).astype(np.float32),
+        "labels": rs.randint(0, cfg.num_classes, (batch, g)).astype(np.int32),
+        "masks": (rs.rand(batch, g, ph, pw) > 0.7).astype(np.uint8),
+        "valid": np.ones((batch, g), bool),
+        "is_crowd": np.zeros((batch, g), bool),
+    }
+    rng = jax.random.key(0)
+    sample = np.zeros((1, h, w, 3), np.float32)
+    state = create_train_state(model, cfg, rng, sample, lr=1e-4,
+                               frozen_backbone=False)
+    tx = make_phase_optimizer(cfg, 1e-4, False, state.params)
+    anchors = yolact_anchors(cfg.input_shape, cfg.anchors_size)
+    step = jax.jit(make_yolact_train_step(model, tx, anchors, cfg),
+                   donate_argnums=0)
+
+    dev = jax.devices()[0]
+    state = pin_to_device(jax.device_put(state, dev))
+    device_batch = pin_to_device(jax.device_put(batch_np, dev))
+    rng = pin_to_device(jax.device_put(jax.random.key(1), dev))
+
+    state, metrics = step(state, device_batch, rng)
+    float(np.asarray(metrics["total"]))
+    for _ in range(3):
+        state, metrics = step(state, device_batch, rng)
+    float(np.asarray(metrics["total"]))
+    fps = []
+    for _ in range(repeats):
+        t0 = time.perf_counter()
+        for _ in range(iters):
+            state, metrics = step(state, device_batch, rng)
+        float(np.asarray(metrics["total"]))    # host sync (dispatch-ack)
+        fps.append(batch / ((time.perf_counter() - t0) / iters))
+    return fps
 
 
 def main():
@@ -143,31 +220,43 @@ def main():
 
     args = parse_args()
 
-    def row(metric, fps, baseline):
-        return {"metric": metric, "value": round(fps, 2), "unit": "img/s",
-                "vs_baseline": round(fps / baseline, 3)}
+    def row(metric, fps_list, baseline):
+        import statistics
+        med = statistics.median(fps_list)
+        spread = (max(fps_list) - min(fps_list)) / med * 100 \
+            if len(fps_list) > 1 else 0.0
+        return {"metric": metric, "value": round(med, 2), "unit": "img/s",
+                "vs_baseline": round(med / baseline, 3),
+                "spread_pct": round(spread, 1)}
 
     if args.model == "yolact":
-        fps = bench_yolact(args.batch, args.iters)
+        fps = bench_yolact(args.batch, args.iters, args.repeats)
         suffix = "" if args.batch == 1 else f"_b{args.batch}"
         print(json.dumps(row(f"yolact_r50_544_infer_fps{suffix}", fps,
                              YOLACT_BASELINE_FPS)))
         return 0
     if args.model == "mask_rcnn":
-        fps = bench_mask_rcnn(args.batch, args.iters)
+        fps = bench_mask_rcnn(args.batch, args.iters, args.repeats)
         suffix = "" if args.batch == 1 else f"_b{args.batch}"
         print(json.dumps(row(f"mask_rcnn_r50_544_infer_fps{suffix}", fps,
                              MASK_RCNN_BASELINE_FPS)))
         return 0
 
     # --model all: headline + extra metrics in one line
-    fps_b1 = bench_yolact(1, args.iters)
-    fps_b16 = bench_yolact(16, max(args.iters // 4, 25))
-    fps_rcnn = bench_mask_rcnn(1, args.iters)
+    r = args.repeats
+    fps_b1 = bench_yolact(1, args.iters, r)
+    fps_b16 = bench_yolact(16, max(args.iters // 4, 25), r)
+    fps_rcnn = bench_mask_rcnn(1, args.iters, r)
+    fps_rcnn8 = bench_mask_rcnn(8, max(args.iters // 8, 13), r)
+    fps_train8 = bench_yolact_train(8, max(args.iters // 4, 25), r)
     out = row("yolact_r50_544_infer_fps", fps_b1, YOLACT_BASELINE_FPS)
     out["extra_metrics"] = [
         row("yolact_r50_544_infer_fps_b16", fps_b16, YOLACT_BASELINE_FPS),
         row("mask_rcnn_r50_544_infer_fps", fps_rcnn, MASK_RCNN_BASELINE_FPS),
+        row("mask_rcnn_r50_544_infer_fps_b8", fps_rcnn8,
+            MASK_RCNN_BASELINE_FPS),
+        row("yolact_r50_544_train_fps_b8", fps_train8,
+            YOLACT_TRAIN_R1_BASELINE),
     ]
     print(json.dumps(out))
     return 0

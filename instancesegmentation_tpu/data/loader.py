@@ -114,6 +114,14 @@ class RcnnCollate(YolactCollate):
     def __init__(self, max_instances: int = 48):
         super().__init__(max_instances, mask_hw=None)
 
+    def __call__(self, samples):
+        batch = super().__call__(samples)
+        # bit-pack the image-resolution gt masks (8x H2D cut, exact);
+        # the jitted step unpacks on device (ops/preprocess.py)
+        from instancesegmentation_tpu.ops.preprocess import pack_mask_bits
+        batch["masks"] = pack_mask_bits(batch["masks"])
+        return batch
+
 
 _POOL: Optional[ThreadPoolExecutor] = None
 _POOL_SIZE = 0

@@ -76,16 +76,46 @@ class RPNHead(nn.Module):
                 jnp.concatenate(deltas, axis=1))
 
 
+class _FlattenDense(nn.Module):
+    """Dense over the flattened trailing (h, w, c) WITHOUT flattening the
+    activation. The (R, h*w*c) reshape merges the spatial dims into the
+    tensor's minor dimension, which XLA realizes as a relayout COPY of the
+    whole roi-feature tensor every step (part of the 7.8 ms/step copy
+    category the round-3 trace attributed); contracting (h, w, c) directly
+    in dot_general lets the compiler fold the transpose into the matmul's
+    operand load instead. The param tree (kernel (h*w*c, out) + bias) is
+    IDENTICAL to nn.Dense on the flattened input — checkpoints and the
+    torch-weight converter (utils/torch_weights.py) are unaffected; the
+    kernel's (h*w*c, out) -> (h, w, c, out) view splits MAJOR dims only,
+    which is layout-free."""
+    features: int
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        h, w, c = x.shape[-3:]
+        kernel = self.param("kernel", nn.initializers.lecun_normal(),
+                            (h * w * c, self.features), jnp.float32)
+        bias = self.param("bias", nn.initializers.zeros,
+                          (self.features,), jnp.float32)
+        y = jax.lax.dot_general(
+            x.astype(self.dtype),
+            kernel.reshape(h, w, c, self.features).astype(self.dtype),
+            (((x.ndim - 3, x.ndim - 2, x.ndim - 1), (0, 1, 2)), ((), ())))
+        return y + bias.astype(self.dtype)
+
+
 class TwoMLPHead(nn.Module):
-    """flatten -> fc1024 -> fc1024 (faster_rcnn_framework.py:126-149)."""
+    """fc1024 -> fc1024 over roi features (faster_rcnn_framework.py:126-149;
+    the reference flattens first — see _FlattenDense for why we contract
+    the (7, 7, C) block directly)."""
     representation_size: int = 1024
     dtype: Any = jnp.bfloat16
 
     @nn.compact
     def __call__(self, x):
-        x = x.reshape(x.shape[0], -1)
-        x = nn.relu(nn.Dense(self.representation_size, dtype=self.dtype,
-                             name="fc6")(x))
+        x = nn.relu(_FlattenDense(self.representation_size, dtype=self.dtype,
+                                  name="fc6")(x))
         x = nn.relu(nn.Dense(self.representation_size, dtype=self.dtype,
                              name="fc7")(x))
         return x

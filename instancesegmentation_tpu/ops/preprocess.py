@@ -38,6 +38,28 @@ RCNN_MEAN = YOLACT_MEAN + IMAGENET_MEAN * YOLACT_STD
 RCNN_STD = YOLACT_STD * IMAGENET_STD
 
 
+def pack_mask_bits(masks: np.ndarray) -> np.ndarray:
+    """(..., W) {0,1} uint8 -> (..., ceil(W/8)) bit-packed uint8 (big-endian
+    bit order, np.packbits default). Mask R-CNN gt masks ship at IMAGE
+    resolution (the 28^2 target projection pools them on device,
+    roi_heads.py maskrcnn_loss), which makes them the dominant H2D term —
+    at 800^2 with max_instances=48 they are 32 MB/img as bytes, 4 MB
+    packed. Exact: masks are binary."""
+    return np.packbits(masks.astype(bool), axis=-1)
+
+
+def unpack_mask_bits(masks, width: int):
+    """Device-side inverse of pack_mask_bits -> (..., width) uint8 {0,1}.
+    Passthrough when masks already carry ``width`` columns (tests and the
+    YOLACT proto-res path ship unpacked)."""
+    if masks.shape[-1] == width:
+        return masks
+    assert masks.shape[-1] == -(-width // 8), (masks.shape, width)
+    shifts = jnp.arange(7, -1, -1, dtype=jnp.uint8)          # big-endian
+    bits = (masks[..., None] >> shifts) & jnp.uint8(1)
+    return bits.reshape(masks.shape[:-1] + (masks.shape[-1] * 8,))[..., :width]
+
+
 def normalize_on_device(images, net: str = "yolact"):
     """uint8 (B, H, W, 3) -> normalized float32; float inputs pass through
     (already normalized on host)."""

@@ -19,7 +19,8 @@ import jax.numpy as jnp
 import optax
 
 from instancesegmentation_tpu.models.yolact.loss import multi_loss
-from instancesegmentation_tpu.ops.preprocess import normalize_on_device
+from instancesegmentation_tpu.ops.preprocess import (normalize_on_device,
+                                                     unpack_mask_bits)
 from instancesegmentation_tpu.train.state import (TrainState,
                                                   backbone_trainability,
                                                   ema_update)
@@ -120,8 +121,10 @@ def make_mask_rcnn_train_step(model, tx, cfg, frozen_backbone=False):
     inner_loss = make_mask_rcnn_train_fns(model, cfg, train=True)
 
     def loss_fn(raw_params, batch_stats, batch, rng):
-        batch = dict(batch, image=normalize_on_device(batch["image"],
-                                                      "mask_rcnn"))
+        batch = dict(batch,
+                     image=normalize_on_device(batch["image"], "mask_rcnn"),
+                     masks=unpack_mask_bits(batch["masks"],
+                                            batch["image"].shape[2]))
         return inner_loss(_freeze_guard(raw_params, cfg, frozen_backbone),
                           batch_stats, batch, rng)
 
@@ -149,8 +152,10 @@ def make_mask_rcnn_eval_step(model, cfg, use_ema: bool):
     def eval_step(state: TrainState, batch, rng):
         params = state.ema_params if (use_ema and state.ema_params is not None) \
             else state.params
-        batch = dict(batch, image=normalize_on_device(batch["image"],
-                                                      "mask_rcnn"))
+        batch = dict(batch,
+                     image=normalize_on_device(batch["image"], "mask_rcnn"),
+                     masks=unpack_mask_bits(batch["masks"],
+                                            batch["image"].shape[2]))
         total, (losses, _) = loss_fn(params, state.batch_stats, batch, rng)
         out = dict(losses)
         out["total"] = total

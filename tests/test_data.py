@@ -314,7 +314,34 @@ def test_bucket_batch_sampler_and_loader(synth):
                     batch_sampler=sampler)
     batch = next(iter(loader.epoch(0)))
     assert batch["image"].shape == (2, 96, 96, 3)
-    assert batch["masks"].shape[-2:] == (96, 96)
+    # image-res masks ship BIT-PACKED along width (8x H2D cut); the jitted
+    # step unpacks on device
+    assert batch["masks"].shape[-2:] == (96, 12)
+    import jax.numpy as jnp
+
+    from instancesegmentation_tpu.ops.preprocess import unpack_mask_bits
+    unpacked = np.asarray(unpack_mask_bits(jnp.asarray(batch["masks"]), 96))
+    assert unpacked.shape[-2:] == (96, 96)
+    assert set(np.unique(unpacked)) <= {0, 1} and unpacked.any()
+
+
+def test_mask_bit_pack_roundtrip():
+    """pack_mask_bits (host) -> unpack_mask_bits (device) is exact for any
+    width, including non-multiples of 8."""
+    import jax.numpy as jnp
+
+    from instancesegmentation_tpu.ops.preprocess import (pack_mask_bits,
+                                                         unpack_mask_bits)
+    rs = np.random.RandomState(7)
+    for w in (8, 13, 96, 100):
+        m = (rs.rand(2, 3, 5, w) > 0.5).astype(np.uint8)
+        packed = pack_mask_bits(m)
+        assert packed.shape == (2, 3, 5, -(-w // 8))
+        out = np.asarray(unpack_mask_bits(jnp.asarray(packed), w))
+        np.testing.assert_array_equal(out, m)
+        # full-width input passes through untouched
+        same = unpack_mask_bits(jnp.asarray(m), w)
+        np.testing.assert_array_equal(np.asarray(same), m)
 
 
 def test_bucket_assignment_nearest_ratio():
