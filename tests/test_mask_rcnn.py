@@ -331,3 +331,32 @@ def test_maskrcnn_projection_pool_first_branch():
     bce = -(tgt * np.log(0.5) + (1 - tgt) * np.log(0.5))
     loss_gold = float(bce.mean(axis=(1, 2)).mean())
     np.testing.assert_allclose(loss_new, loss_gold, rtol=1e-5, atol=1e-6)
+
+
+def test_flatten_dense_matches_flattened_nn_dense():
+    """_FlattenDense (TwoMLPHead fc6) must be numerically identical to the
+    nn.Dense-on-flattened-input it replaced, with an IDENTICAL param tree
+    ((h*w*c, out) kernel + bias) so existing checkpoints and the torch
+    converter (utils/torch_weights.py:145-148) keep loading. The only
+    difference is the contraction shape: (h, w, c) contracted directly in
+    dot_general instead of flattening the activation (the flatten merges
+    spatial dims into the minor dim = a whole-tensor relayout copy)."""
+    import flax.linen as nn
+
+    from instancesegmentation_tpu.models.mask_rcnn.model import _FlattenDense
+
+    rng = np.random.RandomState(11)
+    x = jnp.asarray(rng.randn(6, 7, 7, 32).astype(np.float32))
+
+    mod = _FlattenDense(16, dtype=jnp.float32)
+    variables = mod.init(jax.random.key(0), x)
+    kernel = variables["params"]["kernel"]
+    bias = variables["params"]["bias"]
+    assert kernel.shape == (7 * 7 * 32, 16) and bias.shape == (16,)
+
+    y = mod.apply(variables, x)
+    ref = nn.Dense(16, dtype=jnp.float32).apply(
+        {"params": {"kernel": kernel, "bias": bias}},
+        x.reshape(x.shape[0], -1))
+    np.testing.assert_allclose(np.asarray(y), np.asarray(ref),
+                               rtol=1e-6, atol=1e-6)
