@@ -60,6 +60,9 @@ def main():
     ap.add_argument("--freeze_bn_stats", action="store_true",
                     help="with --phase freeze: apply the frozen-stats "
                     "backbone clone (cfg.freeze_phase_bn_stats mode)")
+    ap.add_argument("--mem_only", action="store_true",
+                    help="compile only; print XLA memory_analysis "
+                    "(HBM accounting) and exit without executing")
     ap.add_argument("--set", action="append", default=[], metavar="KEY=VAL",
                     dest="overrides",
                     help="typed config overrides, e.g. "
@@ -107,6 +110,24 @@ def main():
     step = jax.jit(step_fn, donate_argnums=0)
 
     dev = jax.devices()[0]
+
+    if args.mem_only:
+        # Static HBM accounting from the compiled executable —
+        # dev.memory_stats() is empty on the tunneled axon backend, so
+        # this is the authoritative per-graph memory number. Hits the
+        # persistent compile cache (same HLO as the timed path).
+        compiled = step.lower(state, batch, rng).compile()
+        m = compiled.memory_analysis()
+        gib = 2.0 ** 30
+        print(f"{cfg.net} {cfg.input_shape} b{args.batch} "
+              f"phase={args.phase} memory_analysis: "
+              f"args {m.argument_size_in_bytes / gib:.2f} GiB, "
+              f"out {m.output_size_in_bytes / gib:.2f} GiB, "
+              f"temp {m.temp_size_in_bytes / gib:.2f} GiB, "
+              f"alias {m.alias_size_in_bytes / gib:.2f} GiB, "
+              f"peak ~{(m.argument_size_in_bytes + m.output_size_in_bytes + m.temp_size_in_bytes - m.alias_size_in_bytes) / gib:.2f} GiB")
+        return
+
     state = pin_to_device(jax.device_put(state, dev))
     batch = pin_to_device(jax.device_put(batch, dev))
     rng = pin_to_device(jax.device_put(rng, dev))
