@@ -68,6 +68,17 @@ class Config:
     # YOLACT b8 train step (PERF_NOTES "live-BN wall"). Meaningful only
     # with pretrained/imported stats. Unfreeze phase is unaffected.
     freeze_phase_bn_stats: bool = False
+    # OPT-IN memory mode (no numeric change): rematerialize backbone
+    # bottleneck blocks in the backward pass (jax.checkpoint per block)
+    # instead of keeping every stage activation live. Cuts unfreeze-phase
+    # activation HBM (measured in PERF_NOTES "remat_backbone") for the
+    # price of one extra backbone forward in backward — the standard
+    # XLA/TPU FLOPs-for-HBM trade. Enables bigger unfreeze batches at the
+    # 800-bucket operating point. Numerics are equivalent to float
+    # round-off (the recomputed forward fuses differently — measured
+    # <=3e-6 relative grad delta); the variable tree is unchanged, so
+    # checkpoints interchange with the default.
+    remat_backbone: bool = False
     # RoIAlign grid semantics: False = torchvision 0.4 (aligned=False),
     # the reference's pinned behavior, which carries a systematic ~0.5-px
     # feature-grid offset; True = half-pixel-corrected grid (later

@@ -23,14 +23,17 @@ def get_model(cfg, train_mode: bool = True, frozen_bn: bool = None):
                       dtype=cfg.compute_dtype,
                       frozen_bn=cfg.frozen_bn if frozen_bn is None
                       else bool(frozen_bn),
-                      proto_double=cfg.proto_double)
+                      proto_double=cfg.proto_double,
+                      # remat only pays off when a backward pass exists
+                      remat_backbone=cfg.remat_backbone and train_mode)
     if cfg.net == "mask_rcnn":
         from instancesegmentation_tpu.models.mask_rcnn.model import MaskRCNN
         return MaskRCNN(num_classes=cfg.num_classes + 1,
                         train_mode=train_mode,
                         dtype=cfg.compute_dtype,
                         frozen_bn=cfg.frozen_bn if frozen_bn is None
-                        else bool(frozen_bn))
+                        else bool(frozen_bn),
+                        remat_backbone=cfg.remat_backbone and train_mode)
     raise ValueError(f"unknown net: {cfg.net!r}")
 
 

@@ -163,11 +163,13 @@ class MaskRCNN(nn.Module):
     bn_axis_name: Optional[str] = None
     frozen_bn: bool = False          # FrozenBatchNorm2d backbone option
                                      # (resnet50_fpn_model.py:146-148)
+    remat_backbone: bool = False     # cfg.remat_backbone (HBM mode)
 
     def setup(self):
         self.body = ResNet(layers=(3, 4, 6, 3), out_stages=(1, 2, 3, 4),
                            dtype=self.dtype, bn_axis_name=self.bn_axis_name,
-                           frozen_bn=self.frozen_bn, name="backbone")
+                           frozen_bn=self.frozen_bn,
+                           remat=self.remat_backbone, name="backbone")
         self.fpn = FPN4(dtype=self.dtype, name="fpn")
         self.rpn_head = RPNHead(dtype=self.dtype, name="rpn_head")
         self.box_head = TwoMLPHead(dtype=self.dtype, name="box_head")

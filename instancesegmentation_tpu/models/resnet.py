@@ -116,6 +116,11 @@ class ResNet(nn.Module):
     # imports are interchangeable; the affine params are excluded from
     # updates by the optimizer label tree (train/state.py).
     frozen_bn: bool = False
+    # Rematerialize each bottleneck block in the backward pass
+    # (cfg.remat_backbone): only block-boundary activations stay live,
+    # everything inside a block is recomputed when its gradient runs.
+    # nn.remat keeps the module scope, so the variable tree is unchanged.
+    remat: bool = False
 
     @nn.compact
     def __call__(self, x, train: bool = False) -> Tuple[jnp.ndarray, ...]:
@@ -130,14 +135,15 @@ class ResNet(nn.Module):
         y = nn.relu(y)
         y = nn.max_pool(y, (3, 3), strides=(2, 2), padding=((1, 1), (1, 1)))
 
+        block_cls = nn.remat(Bottleneck) if self.remat else Bottleneck
         outs = []
         planes = 64
         for stage_i, blocks in enumerate(self.layers):
             stride = 1 if stage_i == 0 else 2
             for block_i in range(blocks):
-                y = Bottleneck(planes, stride if block_i == 0 else 1,
-                               dtype=self.dtype, norm=norm,
-                               name=f"layer{stage_i + 1}_{block_i}")(y)
+                y = block_cls(planes, stride if block_i == 0 else 1,
+                              dtype=self.dtype, norm=norm,
+                              name=f"layer{stage_i + 1}_{block_i}")(y)
             outs.append(y)
             planes *= 2
         return tuple(outs[s - 1] for s in self.out_stages)

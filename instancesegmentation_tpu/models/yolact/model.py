@@ -122,11 +122,13 @@ class Yolact(nn.Module):
     # deviates from the reference which keeps BN live in both phases).
     frozen_bn: bool = False
     proto_double: bool = False            # cfg.proto_double (input/2 protos)
+    remat_backbone: bool = False          # cfg.remat_backbone (HBM mode)
 
     def setup(self):
         self.backbone = ResNet(layers=(3, 4, 6, 3), out_stages=(2, 3, 4),
                                dtype=self.dtype, bn_axis_name=self.bn_axis_name,
                                frozen_bn=self.frozen_bn,
+                               remat=self.remat_backbone,
                                name="backbone")
         self.fpn = FPN(dtype=self.dtype, name="fpn")
         self.proto_net = ProtoNet(self.coef_dim, dtype=self.dtype,

@@ -254,3 +254,49 @@ def test_pin_to_device_preserves_values():
     assert int(out["step"]) == 7
     np.testing.assert_array_equal(np.asarray(out["mask"]), tree["mask"])
     assert all(isinstance(v, jax.Array) for v in jax.tree.leaves(out))
+
+
+def test_remat_backbone_identical():
+    """cfg.remat_backbone is a pure memory mode: the variable tree and
+    forward value must be IDENTICAL to the non-remat backbone, and the
+    BN-stat updates / gradients equal to float round-off (the recomputed
+    forward fuses differently, so reassociation shifts the last ulps —
+    measured <=3e-6 relative on this graph)."""
+    import jax
+    import jax.numpy as jnp
+    from instancesegmentation_tpu.models.resnet import ResNet
+
+    x = jnp.asarray(np.random.RandomState(0).randn(2, 32, 32, 3),
+                    jnp.float32)
+
+    def build(remat):
+        m = ResNet(layers=(1, 1, 1, 1), out_stages=(2, 4),
+                   dtype=jnp.float32, remat=remat)
+        v = m.init({"params": jax.random.key(0)}, x, train=False)
+        return m, v
+
+    m0, v0 = build(False)
+    m1, v1 = build(True)
+    # same variable tree (remat keeps module scopes)
+    assert jax.tree_util.tree_structure(v0) == jax.tree_util.tree_structure(v1)
+    for a, b in zip(jax.tree_util.tree_leaves(v0),
+                    jax.tree_util.tree_leaves(v1)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+    def loss_fn(m, v):
+        def f(params):
+            outs, mut = m.apply({"params": params,
+                                 "batch_stats": v["batch_stats"]},
+                                x, train=True, mutable=["batch_stats"])
+            return sum(jnp.sum(o * o) for o in outs), mut
+        (val, mut), grads = jax.value_and_grad(f, has_aux=True)(v["params"])
+        return val, mut, grads
+
+    val0, mut0, g0 = jax.jit(lambda v: loss_fn(m0, v))(v0)
+    val1, mut1, g1 = jax.jit(lambda v: loss_fn(m1, v))(v1)
+    np.testing.assert_allclose(float(val0), float(val1), rtol=0, atol=0)
+    for a, b in zip(jax.tree_util.tree_leaves((mut0, g0)),
+                    jax.tree_util.tree_leaves((mut1, g1))):
+        a, b = np.asarray(a), np.asarray(b)
+        scale = np.max(np.abs(a)) + 1e-30
+        np.testing.assert_allclose(a / scale, b / scale, atol=1e-4)
