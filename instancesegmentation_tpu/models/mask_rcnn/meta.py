@@ -104,7 +104,19 @@ def _batched_roi_align(feats, rois, out_size, aligned):
     import os
     r = rois.shape[1]
     min_r = int(os.environ.get("INSTSEG_ROI_SORTED_MIN_R", "256"))
-    if _roi_backend() == "sorted" and r >= min_r:
+    backend = _roi_backend()
+    if os.environ.get("INSTSEG_ROI_BACKEND", "") == "":
+        # Auto policy (no explicit backend requested): the sorted kernel
+        # wins only at LARGE roi counts — measured 69.5 -> 63.3 ms/call
+        # (-9%) on the b8 inference graph's 1000-roi box pool, but a wash
+        # at the train step's 512 (PERF_NOTES rounds 3-4). Pick it for
+        # r >= 768 on real TPU only (interpret-mode Pallas would crawl on
+        # the CPU test backend).
+        import jax as _jax
+        auto_r = int(os.environ.get("INSTSEG_ROI_SORTED_AUTO_R", "768"))
+        if r >= auto_r and _jax.default_backend() == "tpu":
+            backend, min_r = "sorted", 0
+    if backend == "sorted" and r >= min_r:
         import jax as _jax
         from instancesegmentation_tpu.ops.pallas.roi_align_sorted import \
             multiscale_roi_align_sorted

@@ -72,21 +72,29 @@ def fast_nms(boxes: jnp.ndarray, scores: jnp.ndarray, coefs: jnp.ndarray,
 
 
 def nms_mask(boxes: jnp.ndarray, scores: jnp.ndarray,
-             iou_thresh: float, valid: jnp.ndarray | None = None) -> jnp.ndarray:
+             iou_thresh: float, valid: jnp.ndarray | None = None,
+             block: int = 128) -> jnp.ndarray:
     """Exact greedy NMS -> boolean keep mask (same order as input).
 
     Matches torchvision.ops.nms: a box survives iff no higher-scored
-    SURVIVING box overlaps it above iou_thresh. Computed as a Jacobi
-    fixpoint on the score-ordered suppression DAG:
+    SURVIVING box overlaps it above iou_thresh. Replaces the reference's
+    sequential C++ loop (torchvision nms, boxes.py:7-34) with forms XLA
+    can pipeline on the MXU:
 
+    * n <= block: Jacobi fixpoint on the score-ordered suppression DAG,
         keep_j <- valid_j & ~any_i<j (keep_i & iou_ij > thr)
-
-    which settles level-by-level along suppression chains — exact greedy
-    in at most chain-depth iterations (typically < 20), each one an
-    (N,N) @ (N,) product that maps onto the MXU. This replaces the
-    reference's sequential C++ loop (torchvision nms, boxes.py:7-34) with
-    a form XLA can actually pipeline: O(depth) matvecs instead of O(N)
-    data-dependent steps.
+      exact greedy in at most chain-depth iterations (typically < 20),
+      each an (N,N) @ (N,) product.
+    * n > block: block-sequential Gauss-Seidel — decide ``block`` boxes
+      at a time in score order. Each scan step computes one (N, B) IoU
+      slab on the fly (the full (N,N) matrix is never materialized: the
+      pure-Jacobi form re-read an HBM-resident N^2 matrix once per
+      fixpoint iteration — ~14 passes over 320 MB for the Mask R-CNN
+      postprocess at b8, measured 17 ms of the 74 ms inference call),
+      one cross matvec against the already-decided keeps, and a small
+      within-block fixpoint on the (B, B) diagonal. Identical greedy
+      semantics: suppression only flows from higher-scored boxes, so
+      deciding blocks in score order with earlier keeps frozen is exact.
     """
     n = boxes.shape[0]
     if n == 0:
@@ -96,23 +104,65 @@ def nms_mask(boxes: jnp.ndarray, scores: jnp.ndarray,
     order = jnp.argsort(-jnp.where(valid, scores, -jnp.inf))
     sboxes = boxes[order]
     svalid = valid[order]
-    iou = box_ops.box_iou(sboxes, sboxes)                          # (N, N)
-    # suppress[i, j]: higher-ranked i knocks out j (strictly upper-tri)
-    suppress = jnp.triu(iou > iou_thresh, k=1).astype(jnp.float32)
 
-    def cond(carry):
-        keep, prev_keep, it = carry
-        return (it < n) & jnp.any(keep != prev_keep)
+    if n <= block:
+        iou = box_ops.box_iou(sboxes, sboxes)                      # (N, N)
+        # suppress[i, j]: higher-ranked i knocks out j (strict upper-tri)
+        suppress = jnp.triu(iou > iou_thresh, k=1).astype(jnp.float32)
 
-    def body(carry):
-        keep, _, it = carry
-        hit = suppress.T @ keep.astype(jnp.float32)                # (N,)
-        new_keep = svalid & (hit < 0.5)
-        return new_keep, keep, it + 1
+        def cond(carry):
+            keep, prev_keep, it = carry
+            return (it < n) & jnp.any(keep != prev_keep)
 
-    keep0 = svalid
-    keep_sorted, _, _ = jax.lax.while_loop(
-        cond, body, (keep0, jnp.zeros_like(keep0), 0))
+        def body(carry):
+            keep, _, it = carry
+            hit = suppress.T @ keep.astype(jnp.float32)            # (N,)
+            new_keep = svalid & (hit < 0.5)
+            return new_keep, keep, it + 1
+
+        keep0 = svalid
+        keep_sorted, _, _ = jax.lax.while_loop(
+            cond, body, (keep0, jnp.zeros_like(keep0), 0))
+        return jnp.zeros((n,), bool).at[order].set(keep_sorted)
+
+    # ---- blocked path ----------------------------------------------
+    nb = -(-n // block)
+    pad = nb * block - n
+    sboxes_p = jnp.pad(sboxes, ((0, pad), (0, 0)))
+    svalid_p = jnp.pad(svalid, (0, pad))          # padded slots invalid
+
+    def step(keep_f, b):
+        start = b * block
+        bboxes = jax.lax.dynamic_slice(sboxes_p, (start, 0), (block, 4))
+        bvalid = jax.lax.dynamic_slice(svalid_p, (start,), (block,))
+        slab = box_ops.box_iou(sboxes_p, bboxes)                  # (N, B)
+        sup = (slab > iou_thresh).astype(jnp.float32)
+        # cross-suppression from already-decided boxes: keep_f is zero at
+        # and after this block, so no index masking is needed
+        hit_prev = keep_f @ sup                                    # (B,)
+        # strict upper triangle of this block's diagonal
+        d = jax.lax.dynamic_slice(sup, (start, 0), (block, block))
+        d = d * jnp.triu(jnp.ones((block, block), jnp.float32), k=1)
+
+        def cond(c):
+            kb, prev, it = c
+            return (it < block) & jnp.any(kb != prev)
+
+        def body(c):
+            kb, _, it = c
+            hit = hit_prev + d.T @ kb.astype(jnp.float32)
+            return bvalid & (hit < 0.5), kb, it + 1
+
+        kb0 = bvalid & (hit_prev < 0.5)
+        kb, _, _ = jax.lax.while_loop(
+            cond, body, (kb0, jnp.zeros_like(kb0), 0))
+        keep_f = jax.lax.dynamic_update_slice(
+            keep_f, kb.astype(jnp.float32), (start,))
+        return keep_f, None
+
+    keep_f, _ = jax.lax.scan(step, jnp.zeros((nb * block,), jnp.float32),
+                             jnp.arange(nb))
+    keep_sorted = keep_f[:n] > 0.5
     return jnp.zeros((n,), bool).at[order].set(keep_sorted)
 
 

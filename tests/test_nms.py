@@ -107,3 +107,33 @@ def test_fast_nms_score_threshold_filters_all():
     scores = jnp.array([[0.01, 0.02]])
     out = nms.fast_nms(boxes, scores, jnp.ones((1, 4)), 0.5, 0.5, top_k=1)
     assert not np.any(np.asarray(out.valid))
+
+
+def test_nms_blocked_edges(rng):
+    """Blocked-path edges: n not a multiple of the block, validity masks,
+    and a deterministic suppression chain that crosses block boundaries
+    (box k overlaps only box k+1, scores descending, so greedy keeps the
+    even-indexed boxes -- exercises cross-block hit_prev exactly)."""
+    # chain crossing blocks: 300 boxes, each overlapping its neighbor
+    n = 300
+    x = np.arange(n, dtype=np.float32) * 6.0        # 10-wide, 6 apart: IoU(k,k+1)=4/16=0.25
+    boxes = np.stack([x, np.zeros(n, np.float32),
+                      x + 10.0, np.full(n, 10.0, np.float32)], 1)
+    scores = np.linspace(1.0, 0.5, n).astype(np.float32)
+    keep = np.asarray(nms.nms_mask(jnp.asarray(boxes), jnp.asarray(scores), 0.2))
+    assert sorted(np.nonzero(keep)[0].tolist()) == _ref_greedy_nms(boxes, scores, 0.2)
+    assert np.nonzero(keep)[0].tolist() == list(range(0, n, 2))
+
+    # random boxes at awkward sizes, with invalid entries
+    for n in (130, 1000):
+        r = np.random.RandomState(n)
+        centers = r.uniform(20, 80, (n, 2))
+        wh = r.uniform(10, 40, (n, 2))
+        boxes = np.concatenate([centers - wh / 2, centers + wh / 2], 1).astype(np.float32)
+        scores = r.uniform(0.01, 1, n).astype(np.float32)
+        valid = r.rand(n) > 0.3
+        keep = np.asarray(nms.nms_mask(jnp.asarray(boxes), jnp.asarray(scores),
+                                       0.5, jnp.asarray(valid)))
+        ref = _ref_greedy_nms(boxes[valid], scores[valid], 0.5)
+        ref_global = sorted(np.nonzero(valid)[0][ref].tolist())
+        assert sorted(np.nonzero(keep)[0].tolist()) == ref_global
