@@ -107,14 +107,18 @@ def _batched_roi_align(feats, rois, out_size, aligned):
     backend = _roi_backend()
     if os.environ.get("INSTSEG_ROI_BACKEND", "") == "":
         # Auto policy (no explicit backend requested): the sorted kernel
-        # wins only at LARGE roi counts — measured 69.5 -> 63.3 ms/call
-        # (-9%) on the b8 inference graph's 1000-roi box pool, but a wash
-        # at the train step's 512 (PERF_NOTES rounds 3-4). Pick it for
-        # r >= 768 on real TPU only (interpret-mode Pallas would crawl on
-        # the CPU test backend).
+        # wins only when the TOTAL roi count amortizes its per-block and
+        # level-padding costs — measured 69.5 -> 63.3 ms/call (-9%) on
+        # the b8 inference graph (8x1000 rois), a wash at the train
+        # step's 4x512, and a LOSS at b1x1000 (106.9 -> ~95 img/s: the
+        # kernel's fixed costs dominate one image's pipeline). Gate on
+        # batch*r >= 4096, real TPU only (interpret-mode Pallas would
+        # crawl on the CPU test backend).
         import jax as _jax
-        auto_r = int(os.environ.get("INSTSEG_ROI_SORTED_AUTO_R", "768"))
-        if r >= auto_r and _jax.default_backend() == "tpu":
+        auto_total = int(os.environ.get("INSTSEG_ROI_SORTED_AUTO_TOTAL",
+                                        "4096"))
+        if rois.shape[0] * r >= auto_total and \
+                _jax.default_backend() == "tpu":
             backend, min_r = "sorted", 0
     if backend == "sorted" and r >= min_r:
         import jax as _jax
