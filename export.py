@@ -111,6 +111,10 @@ def main(argv=None):
             make_mask_rcnn_infer_fn
         from instancesegmentation_tpu.models.mask_rcnn.roi_heads import \
             Detections
+        # serialized artifacts must stay portable across platforms: pin
+        # the pure-XLA separable RoIAlign (the auto sorted-kernel pick
+        # would embed a TPU-only Mosaic custom-call in the StableHLO)
+        os.environ.setdefault("INSTSEG_ROI_BACKEND", "separable")
         infer = make_mask_rcnn_infer_fn(model, cfg,
                                         max_det=cfg.max_detections,
                                         nms_thresh=iou)

@@ -117,7 +117,11 @@ def _batched_roi_align(feats, rois, out_size, aligned):
         import jax as _jax
         auto_total = int(os.environ.get("INSTSEG_ROI_SORTED_AUTO_TOTAL",
                                         "4096"))
-        if rois.shape[0] * r >= auto_total and \
+        # symbolic batch dims (export --dynamic_batch) are not ints —
+        # comparisons on them are undecidable, so auto stays separable
+        # there (also the portable choice for a serialized artifact)
+        if isinstance(rois.shape[0], int) and isinstance(r, int) and \
+                rois.shape[0] * r >= auto_total and \
                 _jax.default_backend() == "tpu":
             backend, min_r = "sorted", 0
     if backend == "sorted" and r >= min_r:
