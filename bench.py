@@ -10,8 +10,9 @@ inference (the BASELINE.json north star); `extra_metrics` carries the
 batch-16 YOLACT row (the device-bound number — batch 1 sits on the ~1 ms
 tunnel dispatch floor), Mask R-CNN R50-FPN 544^2 batch 1 AND batch 8 (the
 full RPN -> NMS -> RoIAlign -> heads -> per-class NMS -> 28^2 mask
-graph), and one TRAINING row (YOLACT b8 full train step: fwd + multi-task
-loss + bwd + fused adam/EMA).
+graph), and two TRAINING rows (YOLACT b8 and Mask R-CNN b4 full train
+steps: fwd + loss + bwd + fused adam/EMA, uint8/bit-packed H2D like the
+live loader).
 
 Every number is the MEDIAN of --repeats timed windows; `spread_pct` =
 (max-min)/median*100 so round-over-round drift is distinguishable from
@@ -38,6 +39,7 @@ import time
 YOLACT_BASELINE_FPS = 42.5
 MASK_RCNN_BASELINE_FPS = 1000.0 / 195.0
 YOLACT_TRAIN_R1_BASELINE = 203.8      # round-1 self-baseline (BASELINE.md)
+MASK_RCNN_TRAIN_R1_BASELINE = 50.4    # round-1 self-baseline (BASELINE.md)
 
 
 def parse_args(argv=None):
@@ -209,6 +211,67 @@ def bench_yolact_train(batch: int, iters: int, repeats: int = 3):
     return fps
 
 
+def bench_mask_rcnn_train(batch: int, iters: int, repeats: int = 3):
+    """Full Mask R-CNN train step (RPN + RoI heads, fwd+loss+bwd+fused
+    optimizer/EMA), bf16, uint8 batch incl. image-res gt masks — the
+    tools/bench_train_step.py protocol as a standing BENCH metric."""
+    import jax
+    import numpy as np
+
+    from instancesegmentation_tpu.config import get_config
+    from instancesegmentation_tpu.models import get_model
+    from instancesegmentation_tpu.ops.preprocess import pack_mask_bits
+    from instancesegmentation_tpu.train.state import (create_train_state,
+                                                      make_phase_optimizer)
+    from instancesegmentation_tpu.train.steps import make_mask_rcnn_train_step
+    from instancesegmentation_tpu.utils.device import pin_to_device
+
+    cfg = get_config("mask_rcnn_base", mixed_precision=True, ema=True)
+    model = get_model(cfg, train_mode=True)
+    h, w = cfg.input_shape
+    g = cfg.max_instances
+    rs = np.random.RandomState(0)
+    xy = rs.uniform(0.1, 0.6, (batch, g, 2))
+    wh = rs.uniform(0.1, 0.35, (batch, g, 2))
+    batch_np = {
+        "image": rs.randint(0, 256, (batch, h, w, 3)).astype(np.uint8),
+        "boxes": np.concatenate([xy, np.minimum(xy + wh, 0.99)],
+                                -1).astype(np.float32),
+        "labels": rs.randint(0, cfg.num_classes, (batch, g)).astype(np.int32),
+        # image-res gt masks ship bit-packed like the live loader
+        "masks": pack_mask_bits((rs.rand(batch, g, h, w) > 0.7)
+                                .astype(np.uint8)),
+        "valid": np.ones((batch, g), bool),
+        "is_crowd": np.zeros((batch, g), bool),
+    }
+    rng = jax.random.key(0)
+    sample = np.zeros((1, h, w, 3), np.float32)
+    state = create_train_state(model, cfg, rng, sample, lr=1e-4,
+                               frozen_backbone=False)
+    tx = make_phase_optimizer(cfg, 1e-4, False, state.params)
+    step = jax.jit(make_mask_rcnn_train_step(model, tx, cfg),
+                   donate_argnums=0)
+
+    dev = jax.devices()[0]
+    state = pin_to_device(jax.device_put(state, dev))
+    device_batch = pin_to_device(jax.device_put(batch_np, dev))
+    rng = pin_to_device(jax.device_put(jax.random.key(1), dev))
+
+    state, metrics = step(state, device_batch, rng)
+    float(np.asarray(metrics["total"]))
+    for _ in range(3):
+        state, metrics = step(state, device_batch, rng)
+    float(np.asarray(metrics["total"]))
+    fps = []
+    for _ in range(repeats):
+        t0 = time.perf_counter()
+        for _ in range(iters):
+            state, metrics = step(state, device_batch, rng)
+        float(np.asarray(metrics["total"]))    # host sync (dispatch-ack)
+        fps.append(batch / ((time.perf_counter() - t0) / iters))
+    return fps
+
+
 def main():
     import jax
 
@@ -249,6 +312,7 @@ def main():
     fps_rcnn = bench_mask_rcnn(1, args.iters, r)
     fps_rcnn8 = bench_mask_rcnn(8, max(args.iters // 8, 13), r)
     fps_train8 = bench_yolact_train(8, max(args.iters // 4, 25), r)
+    fps_rtrain4 = bench_mask_rcnn_train(4, max(args.iters // 8, 13), r)
     out = row("yolact_r50_544_infer_fps", fps_b1, YOLACT_BASELINE_FPS)
     out["extra_metrics"] = [
         row("yolact_r50_544_infer_fps_b16", fps_b16, YOLACT_BASELINE_FPS),
@@ -257,6 +321,8 @@ def main():
             MASK_RCNN_BASELINE_FPS),
         row("yolact_r50_544_train_fps_b8", fps_train8,
             YOLACT_TRAIN_R1_BASELINE),
+        row("mask_rcnn_r50_544_train_fps_b4", fps_rtrain4,
+            MASK_RCNN_TRAIN_R1_BASELINE),
     ]
     print(json.dumps(out))
     return 0

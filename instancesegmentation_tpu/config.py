@@ -141,6 +141,14 @@ class Config:
     traditional_nms: bool = False
     top_k: int = 200
     max_detections: int = 100
+    # Mask R-CNN box-head NMS candidate pool: torchvision runs ONE
+    # batched_nms (class-offset trick) over every candidate above the
+    # score threshold (roi_head.py:441-445, boxes.py:37-83); the
+    # static-shape form pools the N highest-scored (proposal, class)
+    # pairs first. 1024 = 10x headroom over the 100-detection output;
+    # 0 = exhaustive per-class NMS over all proposals x classes
+    # (identical results, ~20x the IoU work — see PERF_NOTES round 4).
+    box_nms_candidates: int = 1024
     eval_max_images: int = 100             # eval.py:62
 
     # parallelism: data axis size inferred from devices; mesh axes named

@@ -134,7 +134,10 @@ def _shared_pool(num_workers: int) -> ThreadPoolExecutor:
     epoch (reference trainer.py:202-207 does the same); spinning up a new
     ThreadPoolExecutor each time paid thread create/join per epoch
     (round-3 advisor finding). Grow-only: a larger request swaps in a
-    bigger pool and lets the old one drain its in-flight work."""
+    bigger pool and lets the old one drain its in-flight work —
+    shutdown(wait=False) cancels nothing already submitted, it only
+    rejects NEW submits, which producers handle by re-fetching the
+    current pool (see the retry in Loader.epoch)."""
     global _POOL, _POOL_SIZE
     with _POOL_LOCK:
         if _POOL is None or _POOL_SIZE < num_workers:
@@ -237,7 +240,14 @@ class Loader:
                 nxt = 0
                 while nxt < nb or inflight:
                     while nxt < nb and len(inflight) < window:
-                        inflight.append(pool.submit(make_batch, nxt))
+                        try:
+                            inflight.append(pool.submit(make_batch, nxt))
+                        except RuntimeError:
+                            # another Loader grew the shared pool and shut
+                            # this one down mid-epoch; in-flight futures
+                            # still complete — re-fetch and resubmit
+                            pool = _shared_pool(self.num_workers)
+                            continue
                         nxt += 1
                     if not put_or_stop(inflight.popleft().result()):
                         return

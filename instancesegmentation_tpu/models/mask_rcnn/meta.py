@@ -291,6 +291,7 @@ def make_mask_rcnn_infer_fn(model, cfg, max_det: int = 100,
 
     Geometry follows the images' static shape (see make_mask_rcnn_train_fns)."""
     aligned = bool(getattr(cfg, "roi_align_aligned", False))
+    num_candidates = int(getattr(cfg, "box_nms_candidates", 1024))
 
     def infer(variables, images):
         b = images.shape[0]
@@ -322,7 +323,8 @@ def make_mask_rcnn_infer_fn(model, cfg, max_det: int = 100,
         # affects tie-breaks — the per-detection rows are self-contained
         dets = jax.vmap(partial(R.postprocess_detections, image_hw=image_hw,
                                 score_thresh=score_thresh,
-                                nms_thresh=nms_thresh, max_det=max_det))(
+                                nms_thresh=nms_thresh, max_det=max_det,
+                                num_candidates=num_candidates))(
             cls_logits, box_deltas, prop_boxes, prop_valid)
 
         mask_feats, m_perm, m_real = _batched_roi_align(

@@ -186,8 +186,26 @@ def postprocess_detections(class_logits: jnp.ndarray, box_deltas: jnp.ndarray,
                            proposals: jnp.ndarray, prop_valid: jnp.ndarray,
                            image_hw, score_thresh: float = SCORE_THRESH,
                            nms_thresh: float = NMS_THRESH,
-                           max_det: int = DETECTIONS_PER_IMG) -> Detections:
-    """One image (roi_head.py:366-457)."""
+                           max_det: int = DETECTIONS_PER_IMG,
+                           num_candidates: int = 1024) -> Detections:
+    """One image (roi_head.py:366-457).
+
+    ``num_candidates > 0`` (default) is the reference's own algorithm:
+    torchvision filters candidates by score and runs ONE ``batched_nms``
+    over every class jointly, isolating classes by coordinate offsets
+    (roi_head.py:441-445 -> boxes.py:37-83). The static-shape form pools
+    the ``num_candidates`` highest-scored (proposal, class) pairs and
+    offset-NMSes that pool — one blocked exact NMS over N candidates
+    instead of K-1 vmapped NMS lanes over all P proposals each (the
+    per-class form computed ~20x the IoU work on this head's shapes; it
+    was 14 ms of the 57 ms b8 544^2 inference call, see PERF_NOTES).
+    Equivalent to the per-class form whenever every candidate above
+    score_thresh fits the pool OR >= max_det pool survivors outrank every
+    excluded candidate — 10x headroom at the defaults (1024 pooled for a
+    100-detection output, same spirit as the RPN's own pre/post-NMS top-k
+    caps, faster_rcnn_framework.py:257-264). ``num_candidates=0`` keeps
+    the exhaustive per-class form (property tests A/B the two).
+    """
     k = class_logits.shape[-1]
     probs = jax.nn.softmax(class_logits, axis=-1)          # (P, K)
     boxes = box_ops.decode_rcnn(box_deltas, proposals[:, None, :],
@@ -201,7 +219,18 @@ def postprocess_detections(class_logits: jnp.ndarray, box_deltas: jnp.ndarray,
     ok = (fg_probs > score_thresh) & prop_valid[:, None]
     ok &= box_ops.small_box_mask(fg_boxes, MIN_BOX_SIZE)
 
-    # per-class exact NMS, vmapped over classes
+    if num_candidates:
+        flat = jnp.where(ok, fg_probs, 0.0).reshape(-1)    # (P*(K-1),)
+        n = min(num_candidates, flat.shape[0])
+        cs, idx = jax.lax.top_k(flat, n)                   # score-sorted pool
+        cb = fg_boxes.reshape(-1, 4)[idx]                  # (N, 4)
+        cl = (idx % (k - 1)).astype(jnp.int32)             # 0-based fg class
+        keep = nms_ops.batched_nms_mask(cb, cs, cl, nms_thresh, cs > 0.0)
+        d = min(max_det, n)
+        top, fidx = jax.lax.top_k(jnp.where(keep, cs, 0.0), d)
+        return Detections(cb[fidx], top, cl[fidx] + 1, top > score_thresh)
+
+    # exhaustive per-class exact NMS, vmapped over classes
     def per_class(b, s, v):
         return nms_ops.nms_mask(b, s, nms_thresh, v)
     keep = jax.vmap(per_class, in_axes=(1, 1, 1), out_axes=1)(

@@ -192,6 +192,24 @@ def test_loader_batches(synth):
     assert b["image"].dtype == np.uint8
 
 
+def test_loader_survives_shared_pool_growth(synth):
+    """A Loader mid-epoch must survive another loader growing the shared
+    worker pool (the swap shuts the old executor down for NEW submits;
+    the producer re-fetches and resubmits — review finding round 4)."""
+    from instancesegmentation_tpu.data import loader as loader_mod
+    ds = SegDataset(synth.train_image_path, synth.train_coco, synth.label_map,
+                    transform=BaseTransform((96, 96)))
+    loader = Loader(ds, batch_size=1, collate=YolactCollate(8, (24, 24)),
+                    num_workers=2, prefetch=1)
+    it = loader.epoch(0)
+    first = next(it)                       # producer is live, holding a pool
+    # simulate a second Loader requesting a bigger pool mid-epoch
+    loader_mod._shared_pool(loader_mod._POOL_SIZE + 2)
+    rest = list(it)                        # must not raise
+    assert len(rest) == len(loader) - 1
+    assert first["image"].shape[0] == 1
+
+
 def test_loader_shuffles_between_epochs(synth):
     ds = SegDataset(synth.train_image_path, synth.train_coco, synth.label_map,
                     transform=BaseTransform((96, 96)))

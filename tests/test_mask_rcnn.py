@@ -90,6 +90,60 @@ def test_postprocess_detections_shapes():
     assert np.all(np.asarray(dets.scores)[v] > R.SCORE_THRESH)
 
 
+def _postprocess_inputs(seed, p, k, bg_bias=0.0):
+    rng = np.random.RandomState(seed)
+    logits = rng.randn(p, k).astype(np.float32) * 3
+    logits[:, 0] += bg_bias
+    deltas = rng.randn(p, k, 4).astype(np.float32) * 0.1
+    props = np.concatenate([rng.uniform(0, 60, (p, 2)),
+                            rng.uniform(70, 120, (p, 2))], 1)
+    return (jnp.asarray(logits), jnp.asarray(deltas),
+            jnp.asarray(props.astype(np.float32)))
+
+
+def _assert_same_detections(a, b):
+    va, vb = np.asarray(a.valid), np.asarray(b.valid)
+    assert va.sum() == vb.sum()
+    np.testing.assert_allclose(np.asarray(a.scores)[va],
+                               np.asarray(b.scores)[vb], rtol=1e-6)
+    np.testing.assert_array_equal(np.asarray(a.labels)[va],
+                                  np.asarray(b.labels)[vb])
+    np.testing.assert_allclose(np.asarray(a.boxes)[va],
+                               np.asarray(b.boxes)[vb], rtol=1e-6)
+
+
+def test_postprocess_pooled_batched_nms_equals_per_class():
+    """The pooled batched-NMS form (torchvision's own algorithm,
+    roi_head.py:441-445) must equal the exhaustive per-class form exactly
+    whenever the pool covers every candidate above score_thresh."""
+    for seed in range(4):
+        p, k = 64, 5
+        logits, deltas, props = _postprocess_inputs(seed, p, k)
+        args = (logits, deltas, props, jnp.ones((p,), bool), (128, 128))
+        pooled = R.postprocess_detections(
+            *args, max_det=20, num_candidates=p * (k - 1))
+        per_class = R.postprocess_detections(*args, max_det=20,
+                                             num_candidates=0)
+        _assert_same_detections(pooled, per_class)
+
+
+def test_postprocess_pooled_capped_equals_per_class_when_sparse():
+    """With the candidate pool SMALLER than P*(K-1) but larger than the
+    number of thresh-passing candidates (the trained-model regime: the
+    reference's score filter passes a few hundred of the 20k), the capped
+    pool is provably identical to the exhaustive form."""
+    p, k = 400, 5                        # 1600 fg candidates
+    # push ~90% of proposals' fg scores under 0.05 via a background bias
+    logits, deltas, props = _postprocess_inputs(11, p, k, bg_bias=6.0)
+    probs = np.asarray(jax.nn.softmax(logits, -1))[:, 1:]
+    n_pass = int((probs > R.SCORE_THRESH).sum())
+    assert 0 < n_pass < 512, n_pass      # the regime under test
+    args = (logits, deltas, props, jnp.ones((p,), bool), (128, 128))
+    capped = R.postprocess_detections(*args, max_det=50, num_candidates=512)
+    per_class = R.postprocess_detections(*args, max_det=50, num_candidates=0)
+    _assert_same_detections(capped, per_class)
+
+
 @pytest.mark.slow
 def test_frozen_bn_and_trainable_layers():
     """FrozenBN + trainable_layers=3 parity (resnet50_fpn_model.py:163-199):
