@@ -79,8 +79,35 @@ def _pad8(x: int) -> int:
     return -(-x // 8) * 8
 
 
+def _auto_cb(sh: int, wmax: int, c: int, oh: int, rb: int) -> int:
+    """Widest 128-multiple channel slab whose kernel working sets fit VMEM.
+
+    One slab for all 256 channels (nc=1) beats two 128-channel passes
+    twice over: the canvas pack's (B, rows, W, nc, cb) -> (B, nc, ...)
+    transpose becomes layout-free (nc=1 axis moves are free, XLA elides
+    the relayout copy — it was ~2 ms/call on the b8 544^2 inference
+    graph), and the grid halves, halving slab DMAs and the per-roi
+    x-contraction dispatch count. Budget = the larger of the fwd
+    (bf16 slab + f32 tmp) and bwd (f32 dslab + compute-dtype dtmp)
+    resident sets against a 48 MB cap (the pallas_call limit is 64 MB;
+    headroom for double-buffered by/bx/g/out blocks). 544^2 Mask R-CNN
+    canvases pick 256; 800-bucket canvases (200x208 P2) keep 128 — their
+    f32 bwd accumulator alone would be 42.6 MB at 256."""
+    budget = 48 * 1024 * 1024
+    cb = c
+    while cb > 128:
+        if c % cb == 0:
+            fwd = sh * wmax * cb * 2 + rb * oh * wmax * cb * 4
+            bwd = sh * wmax * cb * 4 + rb * oh * wmax * cb * 2
+            if max(fwd, bwd) <= budget:
+                return cb
+        cb //= 2
+    return 128
+
+
 def make_canvas_spec(shapes: Sequence[Tuple[int, int]], c: int,
-                     cb: int = 128) -> CanvasSpec:
+                     cb: int | None = None, oh: int = 7,
+                     rb: int = 16) -> CanvasSpec:
     hs = tuple(int(h) for h, _ in shapes)
     ws = tuple(int(w) for _, w in shapes)
     sh = _pad8(max(hs))
@@ -90,6 +117,8 @@ def make_canvas_spec(shapes: Sequence[Tuple[int, int]], c: int,
         offs.append(off)
         off += _pad8(h)
     rows = offs[-1] + sh          # last level's SH-row DMA stays in bounds
+    if cb is None:
+        cb = _auto_cb(sh, wmax, c, oh, rb) if c % 128 == 0 else c
     assert c % cb == 0
     return CanvasSpec(hs, ws, tuple(offs), rows, sh, wmax, c, cb, c // cb)
 
@@ -535,7 +564,8 @@ def multiscale_roi_align_sorted(feats: Sequence[jnp.ndarray],
     ``jnp.take_along_axis(x, out.perm, axis=1)`` and mask with
     ``out.real`` instead of un-permuting the features.
     """
-    spec = make_canvas_spec([f.shape[1:3] for f in feats], feats[0].shape[-1])
+    spec = make_canvas_spec([f.shape[1:3] for f in feats],
+                            feats[0].shape[-1], oh=out_size[0], rb=rb)
     srt = sort_rois_by_level(rois, spec, spatial_scales, out_size, rb,
                              aligned)
     by, bx = make_operators(srt.geom, spec, out_size, sampling_ratio)
