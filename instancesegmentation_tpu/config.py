@@ -31,6 +31,10 @@ class Config:
     input_shape: Tuple[int, int] = (544, 544)
     max_instances: int = 64                # static pad (reference: ragged)
     num_workers: int = 4
+    cache_images: bool = False             # keep decoded frames in RAM after
+                                           # epoch 1 (skips disk+decode;
+                                           # ~0.9 MB/img at 544^2) — for
+                                           # host-bound small/medium sets
     augment: bool = True                   # train-time Augmentation pipeline;
                                            # False = BaseTransform (resize
                                            # only) — diagnosis/memorization
@@ -148,6 +152,12 @@ class Config:
     # pairs first. 1024 = 10x headroom over the 100-detection output;
     # 0 = exhaustive per-class NMS over all proposals x classes
     # (identical results, ~20x the IoU work — see PERF_NOTES round 4).
+    # Real-COCO regime note (round-4 advisor): with ~90 classes x 1000
+    # proposals an imperfectly trained model can push >1024 pairs past
+    # the 0.05 score gate; overflow silently drops the lowest-scored
+    # candidates pre-NMS, unlike torchvision. Eval prints the measured
+    # max/mean candidate counts and flags saturated images
+    # (data/eval_runner.py) — raise this (or set 0) if it warns.
     box_nms_candidates: int = 1024
     eval_max_images: int = 100             # eval.py:62
 

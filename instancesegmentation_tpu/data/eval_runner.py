@@ -119,6 +119,17 @@ def evaluate_predictor(predictor, dataset, label_map, out_dir: str,
                 mj.prep_metrics(image_id, boxes, scores, classes, masks)
         mj.bbox_data = mh.merge_eval_results(mj.bbox_data)
         mj.mask_data = mh.merge_eval_results(mj.mask_data)
+        # box-head pool saturation (Mask R-CNN predictors track it; this
+        # host's images only): overflow means the static candidate pool
+        # diverged from reference semantics for those images
+        ps = getattr(predictor, "pool_stats", None)
+        if ps and ps.get("images"):
+            pool = getattr(predictor, "pool_size", 0)
+            warn = (f"  [{ps['saturated']} image(s) SATURATED — raise "
+                    f"box_nms_candidates]" if ps["saturated"] else "")
+            print(f"box-head NMS candidates: max {ps['max']} / "
+                  f"mean {ps['mean']:.1f} of {pool} pool slots "
+                  f"over {ps['images']} image(s){warn}")
         if mh.is_main_process():
             mj.dump(out_dir)
     if map_mode in (0, 2) and mh.is_main_process():

@@ -67,6 +67,11 @@ class MaskRCNNPredictor:
                         if cfg.resolution_buckets else None)
         self.class_names = list(cfg.class_names)
         self.colors = class_colors(len(self.class_names))
+        # box-head NMS candidate-pool saturation accounting (the static
+        # pool is reference-equivalent only while every above-threshold
+        # candidate fits — make overflow observable, round-4 verdict)
+        self.pool_size = int(getattr(cfg, "box_nms_candidates", 1024))
+        self.pool_stats = {"max": 0, "mean": 0.0, "images": 0, "saturated": 0}
 
         self.model = get_model(cfg, train_mode=False)
         if variables is None:
@@ -140,6 +145,19 @@ class MaskRCNNPredictor:
         return {"boxes": boxes, "scores": scores,
                 "classes": labels - 1, "masks": masks}
 
+    def _track_pool(self, n_candidates: np.ndarray):
+        """Running max/mean of per-image above-threshold candidate counts
+        vs the static pool (a saturated pool silently drops candidates
+        pre-NMS, unlike torchvision's dynamic filter, roi_head.py:441-445)."""
+        st = self.pool_stats
+        n = st["images"]
+        st["max"] = max(st["max"], int(n_candidates.max()))
+        st["mean"] = (st["mean"] * n + float(n_candidates.sum())) \
+            / (n + len(n_candidates))
+        st["images"] = n + len(n_candidates)
+        if self.pool_size:
+            st["saturated"] += int((n_candidates > self.pool_size).sum())
+
     def raw_detect(self, image_rgb: np.ndarray, score_thresh=None):
         return self.raw_detect_batch([image_rgb], score_thresh)[0]
 
@@ -157,6 +175,8 @@ class MaskRCNNPredictor:
         for idxs in groups.values():
             batch = np.concatenate([preps[i][0] for i in idxs])
             dets, mask_probs = self._infer(self.variables, batch)
+            if dets.n_candidates is not None:
+                self._track_pool(np.asarray(dets.n_candidates))
             dets = {"boxes": np.asarray(dets.boxes),
                     "scores": np.asarray(dets.scores),
                     "labels": np.asarray(dets.labels),

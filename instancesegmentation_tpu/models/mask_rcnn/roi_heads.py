@@ -180,6 +180,12 @@ class Detections(NamedTuple):
     scores: jnp.ndarray    # (D,)
     labels: jnp.ndarray    # (D,) 1..K
     valid: jnp.ndarray     # (D,)
+    # count of above-threshold (proposal, class) candidates BEFORE the
+    # static num_candidates pool — the pool is provably equivalent to
+    # torchvision's score-filter-then-batched-NMS only while every such
+    # candidate fits (round-4 deviation, docs/COMPONENTS.md); this makes
+    # saturation observable at eval time instead of silent
+    n_candidates: jnp.ndarray = None
 
 
 def postprocess_detections(class_logits: jnp.ndarray, box_deltas: jnp.ndarray,
@@ -218,6 +224,7 @@ def postprocess_detections(class_logits: jnp.ndarray, box_deltas: jnp.ndarray,
 
     ok = (fg_probs > score_thresh) & prop_valid[:, None]
     ok &= box_ops.small_box_mask(fg_boxes, MIN_BOX_SIZE)
+    n_above = jnp.sum(ok).astype(jnp.int32)
 
     if num_candidates:
         flat = jnp.where(ok, fg_probs, 0.0).reshape(-1)    # (P*(K-1),)
@@ -228,7 +235,8 @@ def postprocess_detections(class_logits: jnp.ndarray, box_deltas: jnp.ndarray,
         keep = nms_ops.batched_nms_mask(cb, cs, cl, nms_thresh, cs > 0.0)
         d = min(max_det, n)
         top, fidx = jax.lax.top_k(jnp.where(keep, cs, 0.0), d)
-        return Detections(cb[fidx], top, cl[fidx] + 1, top > score_thresh)
+        return Detections(cb[fidx], top, cl[fidx] + 1, top > score_thresh,
+                          n_above)
 
     # exhaustive per-class exact NMS, vmapped over classes
     def per_class(b, s, v):
@@ -241,4 +249,4 @@ def postprocess_detections(class_logits: jnp.ndarray, box_deltas: jnp.ndarray,
     top, idx = jax.lax.top_k(flat_scores, d)
     det_boxes = fg_boxes.reshape(-1, 4)[idx]
     det_labels = (idx % (k - 1)).astype(jnp.int32) + 1
-    return Detections(det_boxes, top, det_labels, top > score_thresh)
+    return Detections(det_boxes, top, det_labels, top > score_thresh, n_above)

@@ -144,6 +144,47 @@ def test_postprocess_pooled_capped_equals_per_class_when_sparse():
     _assert_same_detections(capped, per_class)
 
 
+def test_postprocess_reports_pool_saturation():
+    """A dense scene (every (proposal, class) pair above threshold) must
+    be OBSERVABLE: n_candidates carries the pre-pool above-threshold
+    count so eval can flag pool overflow instead of silently dropping
+    candidates (round-4 verdict item 7)."""
+    p, k = 64, 5
+    logits = jnp.full((p, k), 0.0).at[:, 0].set(-8.0)  # all fg likely
+    deltas = jnp.zeros((p, k, 4))
+    props = jnp.tile(jnp.asarray([[10.0, 10.0, 90.0, 90.0]]), (p, 1))
+    args = (logits, deltas, props, jnp.ones((p,), bool), (128, 128))
+    dense = R.postprocess_detections(*args, max_det=10, num_candidates=32)
+    n_above = int(dense.n_candidates)
+    assert n_above == p * (k - 1)            # every fg pair passes 0.05
+    assert n_above > 32                      # i.e. the pool saturated
+    # sparse control: the count matches the actual above-threshold pairs
+    logits2, deltas2, props2 = _postprocess_inputs(11, 400, 5, bg_bias=6.0)
+    probs = np.asarray(jax.nn.softmax(logits2, -1))[:, 1:]
+    sparse = R.postprocess_detections(
+        logits2, deltas2, props2, jnp.ones((400,), bool), (128, 128),
+        max_det=50, num_candidates=512)
+    # n_candidates also masks degenerate boxes; bound-check instead of
+    # exact equality with the raw prob count
+    assert int(sparse.n_candidates) <= int((probs > R.SCORE_THRESH).sum())
+    assert int(sparse.n_candidates) < 512    # not saturated
+
+
+def test_predictor_pool_stats_running_aggregate():
+    """MaskRCNNPredictor._track_pool: running max/mean/saturation over
+    batches (what evaluate_predictor prints)."""
+    from instancesegmentation_tpu.models.mask_rcnn.predictor import \
+        MaskRCNNPredictor
+    pred = MaskRCNNPredictor.__new__(MaskRCNNPredictor)   # no model build
+    pred.pool_size = 100
+    pred.pool_stats = {"max": 0, "mean": 0.0, "images": 0, "saturated": 0}
+    pred._track_pool(np.array([10, 120]))
+    pred._track_pool(np.array([50]))
+    st = pred.pool_stats
+    assert st["max"] == 120 and st["images"] == 3 and st["saturated"] == 1
+    np.testing.assert_allclose(st["mean"], (10 + 120 + 50) / 3)
+
+
 @pytest.mark.slow
 def test_frozen_bn_and_trainable_layers():
     """FrozenBN + trainable_layers=3 parity (resnet50_fpn_model.py:163-199):
