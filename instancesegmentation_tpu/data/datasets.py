@@ -75,25 +75,41 @@ class SegDataset:
     """
 
     def __init__(self, image_dir: str, coco: COCO, label_map: Dict[int, int],
-                 transform=None, skip_empty: bool = True):
+                 transform=None, skip_empty: bool = True,
+                 cache_images: bool = False):
+        """``cache_images``: keep decoded uint8 RGB frames in memory after
+        first read — skips disk + PNG/JPEG decode from epoch 2 on
+        (measured 15 ms/image of the 64 ms single-core sample cost at
+        544^2; docs/PERF_NOTES.md round 5). Opt-in: costs H*W*3 bytes per
+        image (~0.9 MB at 544^2), sized for small/medium train sets."""
         self.image_dir = image_dir
         self.coco = coco
         self.label_map = label_map
         self.transform = transform
         self.ids = [i for i in coco.getImgIds()
                     if not skip_empty or coco.imgToAnns.get(i)]
+        self._image_cache: Optional[Dict[int, np.ndarray]] = \
+            {} if cache_images else None
 
     def __len__(self):
         return len(self.ids)
 
     def load_image(self, image_id: int) -> np.ndarray:
         import cv2
-        info = self.coco.loadImgs(image_id)[0]
-        path = os.path.join(self.image_dir, info["file_name"])
-        img = cv2.imread(path, cv2.IMREAD_COLOR)
-        if img is None:
-            raise FileNotFoundError(path)
-        return cv2.cvtColor(img, cv2.COLOR_BGR2RGB).astype(np.float32)
+        cached = (self._image_cache.get(image_id)
+                  if self._image_cache is not None else None)
+        if cached is None:
+            info = self.coco.loadImgs(image_id)[0]
+            path = os.path.join(self.image_dir, info["file_name"])
+            img = cv2.imread(path, cv2.IMREAD_COLOR)
+            if img is None:
+                raise FileNotFoundError(path)
+            cached = cv2.cvtColor(img, cv2.COLOR_BGR2RGB)
+            if self._image_cache is not None:
+                # plain dict set: worst case under races is one duplicate
+                # decode; readers never see partial state (GIL)
+                self._image_cache[image_id] = cached
+        return cached.astype(np.float32)
 
     def raw_item(self, index: int):
         """Decode one image + its annotations (no augmentation)."""

@@ -162,10 +162,23 @@ class Loader:
     def __init__(self, dataset, batch_size: int, collate: Callable,
                  shuffle: bool = True, seed: int = 704,
                  drop_last: bool = True, num_workers: int = 4,
-                 prefetch: int = 2, batch_sampler=None):
+                 prefetch: int = 2, batch_sampler=None,
+                 num_shards: int = 1, shard_index: int = 0):
         """``batch_sampler``: optional object with epoch(e) -> list of index
         lists (e.g. data.aspect_ratio.GroupedBatchSampler), replacing the
-        default shuffled contiguous batching."""
+        default shuffled contiguous batching.
+
+        ``num_shards``/``shard_index``: per-process input sharding (the
+        DistributedSampler analogue, models/init_model.py:88-92).
+        ``batch_size`` stays the GLOBAL batch; every process computes the
+        same deterministic global batch composition (same seed/shuffle)
+        but decodes/augments only its own CONTIGUOUS slice of each batch
+        — rank r gets rows [r*B/P, (r+1)*B/P), so the rank-order
+        concatenation of local batches IS the global batch and
+        parallel.mesh.shard_batch can assemble it without reshuffling
+        (contiguous matches the mesh's process-ordered device layout).
+        Ragged trailing batches (drop_last=False) are skipped when
+        sharded: multi-process SPMD needs equal shapes on every rank."""
         self.dataset = dataset
         self.batch_size = batch_size
         self.collate = collate
@@ -175,6 +188,11 @@ class Loader:
         self.num_workers = max(1, num_workers)
         self.prefetch = prefetch
         self.batch_sampler = batch_sampler
+        if not 0 <= shard_index < num_shards:
+            raise ValueError(f"shard_index {shard_index} out of range for "
+                             f"num_shards {num_shards}")
+        self.num_shards = num_shards
+        self.shard_index = shard_index
 
     def __len__(self):
         if self.batch_sampler is not None:
@@ -188,15 +206,27 @@ class Loader:
             np.random.RandomState(self.seed + epoch).shuffle(idx)
         return idx
 
+    def _shard_entry(self, entry):
+        """Slice one global batch entry down to this process's rows."""
+        out_hw, idxs = entry if isinstance(entry, tuple) else (None, entry)
+        n = len(idxs)
+        if n % self.num_shards:
+            return None                    # ragged batch: skip (see __init__)
+        per = n // self.num_shards
+        local = idxs[self.shard_index * per:(self.shard_index + 1) * per]
+        return (out_hw, local) if out_hw is not None else local
+
     def epoch(self, epoch: int = 0) -> Iterator[Dict[str, np.ndarray]]:
         if self.batch_sampler is not None:
             batches = self.batch_sampler.epoch(epoch)
-            nb = len(batches)
         else:
             idx = self._epoch_indices(epoch)
-            nb = len(self)
             batches = [idx[i * self.batch_size:(i + 1) * self.batch_size]
-                       for i in range(nb)]
+                       for i in range(len(self))]
+        if self.num_shards > 1:
+            batches = [s for b in batches
+                       if (s := self._shard_entry(b)) is not None]
+        nb = len(batches)
 
         def make_batch(bi: int):
             entry = batches[bi]
@@ -238,6 +268,7 @@ class Loader:
                 pool = _shared_pool(self.num_workers)
                 inflight: deque = deque()
                 nxt = 0
+                retries = 0
                 while nxt < nb or inflight:
                     while nxt < nb and len(inflight) < window:
                         try:
@@ -245,9 +276,17 @@ class Loader:
                         except RuntimeError:
                             # another Loader grew the shared pool and shut
                             # this one down mid-epoch; in-flight futures
-                            # still complete — re-fetch and resubmit
+                            # still complete — re-fetch and resubmit.
+                            # Bounded: a submit that keeps failing for any
+                            # other reason (e.g. interpreter shutdown, where
+                            # re-creating the pool raises the same error)
+                            # must not spin forever (round-4 advisor).
+                            retries += 1
+                            if retries > 8:
+                                raise
                             pool = _shared_pool(self.num_workers)
                             continue
+                        retries = 0
                         nxt += 1
                     if not put_or_stop(inflight.popleft().result()):
                         return

@@ -49,8 +49,23 @@ def replicated_sharding(mesh: Mesh) -> NamedSharding:
 
 
 def shard_batch(batch, mesh: Mesh, axis: str = "data"):
-    """Device-put a host batch dict with its leading dim split over the
-    data axis (the DistributedSampler replacement: every host loads its
-    slice; on one host this splits the global batch across local chips)."""
+    """Place a host batch dict with its leading dim split over the data
+    axis (the DistributedSampler replacement, models/init_model.py:88-92).
+
+    Single-process: ``batch`` is the GLOBAL batch; device_put splits it
+    across local chips. Multi-process: ``batch`` is this PROCESS'S
+    contiguous slice of the global batch (the loader's
+    num_shards/shard_index split, data/loader.py) and
+    ``jax.make_array_from_process_local_data`` assembles the global
+    sharded array — each host only ever materializes its own rows.
+    Contiguous (not strided) rank slices match the mesh's device order
+    (process 0's devices lead ``jax.devices()``), so the assembled global
+    batch equals the single-process concatenation in rank order —
+    verified by the cross-process train-step equivalence test
+    (tests/test_multiprocess.py)."""
     sh = batch_sharding(mesh, axis)
+    if jax.process_count() > 1:
+        return jax.tree_util.tree_map(
+            lambda x: jax.make_array_from_process_local_data(
+                sh, np.asarray(x)), batch)
     return jax.tree_util.tree_map(lambda x: jax.device_put(x, sh), batch)

@@ -98,7 +98,25 @@ class CheckpointIO:
         state (predictors: params/batch_stats/ema) or that can rebuild the
         rest (trainer resume)."""
         self._ckptr.wait_until_finished()
-        return self._ckptr.restore(self._path(name))
+        try:
+            return self._ckptr.restore(self._path(name))
+        except ValueError:
+            # checkpoint written under a DIFFERENT device topology (e.g. a
+            # multi-process training run restored on a single-process
+            # eval/predict host): template-free restore tries to rebuild
+            # the saved shardings and fails; force plain host numpy
+            import jax
+            import numpy as np
+            ptc = ocp.PyTreeCheckpointer()
+            try:
+                meta = ptc.metadata(self._path(name)).item_metadata
+                restore_args = jax.tree_util.tree_map(
+                    lambda _: ocp.RestoreArgs(restore_type=np.ndarray), meta)
+                return ptc.restore(
+                    self._path(name),
+                    args=ocp.args.PyTreeRestore(restore_args=restore_args))
+            finally:
+                ptc.close()
 
     def has(self, name: str) -> bool:
         self._ckptr.wait_until_finished()

@@ -287,7 +287,11 @@ def create_train_state(model, cfg, rng, sample_image, lr: float,
     first step when no mesh is given).
     """
     try:
-        cpu = jax.devices("cpu")[0]
+        # local_devices, not devices: in a multi-process run the global
+        # device list leads with process 0's devices, which are
+        # NON-ADDRESSABLE from other ranks — default_device on one of
+        # those fails exactly where multi-host init must work
+        cpu = jax.local_devices(backend="cpu")[0]
     except RuntimeError:
         cpu = None
 

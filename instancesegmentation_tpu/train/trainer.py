@@ -84,7 +84,8 @@ class Trainer:
             cfg.input_shape, keep_aspect=keep_aspect)
         self.train_ds = SegDataset(
             self.ann.train_image_path, self.ann.train_coco,
-            self.ann.label_map, transform=train_tf)
+            self.ann.label_map, transform=train_tf,
+            cache_images=cfg.cache_images)
         # val geometry matches train: under buckets, keep-aspect fit+pad
         # into input_shape (GeneralizedRCNNTransform applies the same
         # resize at train and eval, reference transform.py:256-301)
@@ -249,13 +250,19 @@ class Trainer:
         return sampler
 
     def _loaders(self):
+        # per-process input sharding (the DistributedSampler analogue):
+        # every process computes the same global batch composition but
+        # decodes only its contiguous slice; shard_batch reassembles.
+        # Single-process (the common case) this is a no-op.
+        shard = dict(num_shards=jax.process_count(),
+                     shard_index=jax.process_index())
         train = Loader(self.train_ds, self.batch_size, self.collate,
                        shuffle=True, seed=self.cfg.seed,
                        num_workers=self.cfg.num_workers,
-                       batch_sampler=self._group_sampler())
+                       batch_sampler=self._group_sampler(), **shard)
         val = Loader(self.val_ds, self.batch_size, self.collate,
                      shuffle=False, seed=self.cfg.seed,
-                     num_workers=self.cfg.num_workers)
+                     num_workers=self.cfg.num_workers, **shard)
         if len(train) == 0 or len(val) == 0:
             raise ValueError("dataset too small for the batch size "
                              "(reference trainer.py:95-96)")

@@ -192,6 +192,51 @@ def test_loader_batches(synth):
     assert b["image"].dtype == np.uint8
 
 
+def test_dataset_image_cache_bit_exact(synth):
+    """cache_images=True must return the same pixels on every epoch as
+    the uncached decode path (round-5 host-pipeline lever)."""
+    plain = SegDataset(synth.train_image_path, synth.train_coco,
+                       synth.label_map)
+    cached = SegDataset(synth.train_image_path, synth.train_coco,
+                        synth.label_map, cache_images=True)
+    iid = plain.ids[0]
+    a = plain.load_image(iid)
+    b1 = cached.load_image(iid)          # decode + populate
+    b2 = cached.load_image(iid)          # cache hit
+    assert cached._image_cache and iid in cached._image_cache
+    np.testing.assert_array_equal(a, b1)
+    np.testing.assert_array_equal(a, b2)
+    assert b1.dtype == np.float32
+
+
+def test_loader_process_shards_concat_to_global(synth):
+    """num_shards/shard_index (the DistributedSampler analogue,
+    models/init_model.py:88-92): each shard decodes only its contiguous
+    rows, shards are disjoint, and the rank-order concatenation is
+    BIT-EXACT the unsharded loader's global batch (the property
+    parallel.mesh.shard_batch relies on to assemble the global array)."""
+    ds = SegDataset(synth.train_image_path, synth.train_coco, synth.label_map,
+                    transform=BaseTransform((96, 96)))
+    collate = YolactCollate(8, (24, 24))
+    mk = lambda **kw: Loader(ds, batch_size=4, collate=collate,
+                             num_workers=1, seed=11, **kw)
+    global_batches = list(mk().epoch(3))
+    shard_batches = [list(mk(num_shards=2, shard_index=r).epoch(3))
+                     for r in range(2)]
+    assert len(shard_batches[0]) == len(shard_batches[1]) == len(global_batches)
+    for g, b0, b1 in zip(global_batches, *shard_batches):
+        assert b0["image"].shape[0] == b1["image"].shape[0] == 2
+        # disjoint cover
+        assert not set(b0["image_id"]) & set(b1["image_id"])
+        for k in g:
+            np.testing.assert_array_equal(
+                np.concatenate([b0[k], b1[k]]), g[k], err_msg=k)
+    # ragged batches are skipped when sharded (SPMD equal-shape rule)
+    ragged = mk(num_shards=2, shard_index=0)
+    ragged.batch_size = 3            # 3 % 2 != 0 -> every batch ragged
+    assert list(ragged.epoch(0)) == []
+
+
 def test_loader_survives_shared_pool_growth(synth):
     """A Loader mid-epoch must survive another loader growing the shared
     worker pool (the swap shuts the old executor down for NEW submits;

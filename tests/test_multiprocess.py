@@ -49,6 +49,73 @@ def _det_key(d):
             round(d["score"], 6))
 
 
+def _train_step_probe(data_dir: str, num_shards: int = 1,
+                      shard_index: int = 0):
+    """ONE full YOLACT train step (fwd + multi-task loss + bwd + optimizer
+    + EMA) over a mesh of ALL jax.devices(), fed by the real Loader with
+    per-process input sharding. Deterministic end to end, so a 2-process
+    8-device run and a single-process 8-device run of this same function
+    must produce the same loss and updated params — the DDP-training
+    equivalence the reference only ever checks by launching
+    torch.distributed.launch by hand (train.py:80-83)."""
+    import jax
+    import numpy as np
+
+    from instancesegmentation_tpu.config import get_config
+    from instancesegmentation_tpu.data.augment import BaseTransform
+    from instancesegmentation_tpu.data.datasets import (SegDataset,
+                                                        synthetic_annotation)
+    from instancesegmentation_tpu.data.loader import Loader, YolactCollate
+    from instancesegmentation_tpu.models import get_model
+    from instancesegmentation_tpu.ops.anchors import yolact_anchors
+    from instancesegmentation_tpu.parallel import make_mesh, shard_batch
+    from instancesegmentation_tpu.train.state import (create_train_state,
+                                                      make_phase_optimizer)
+    from instancesegmentation_tpu.train.steps import make_yolact_train_step
+
+    cfg = get_config("yolact_synth", input_shape=(64, 64), max_instances=4,
+                     ema=True, mixed_precision=False)
+    ann = synthetic_annotation(data_dir)
+    ds = SegDataset(ann.train_image_path, ann.train_coco, ann.label_map,
+                    transform=BaseTransform(cfg.input_shape))
+    loader = Loader(ds, batch_size=8,
+                    collate=YolactCollate(cfg.max_instances, cfg.proto_shape),
+                    shuffle=True, seed=7, num_workers=1,
+                    num_shards=num_shards, shard_index=shard_index)
+    batch = next(iter(loader.epoch(0)))
+    batch.pop("image_id")
+
+    model = get_model(cfg, train_mode=True)
+    anchors = yolact_anchors(cfg.input_shape, cfg.anchors_size)
+    sample = np.zeros((8,) + tuple(cfg.input_shape) + (3,), np.float32)
+    state = create_train_state(model, cfg, jax.random.key(0), sample,
+                               lr=1e-4, frozen_backbone=True)
+    # numpy leaves: identical host-local values on every process are the
+    # documented-safe replicated-input form for multi-process jit
+    state = jax.tree_util.tree_map(np.asarray, state)
+    tx = make_phase_optimizer(cfg, 1e-4, True, state.params)
+    step = jax.jit(make_yolact_train_step(model, tx, anchors, cfg,
+                                          frozen_backbone=True))
+    mesh = make_mesh(jax.devices())
+    rng = np.asarray(jax.random.PRNGKey(1))
+    with mesh:
+        device_batch = shard_batch(batch, mesh)
+        # AOT-compile, then barrier: the cross-process gloo context for
+        # the step's collectives has a ~30 s init deadline, and per-rank
+        # jit compile times skew by more than that under CPU contention —
+        # the fast rank's gloo init times out while the slow rank is
+        # still compiling. Compile is process-local, so align on the
+        # coordination service (no collective) before first execution.
+        compiled = step.lower(state, device_batch, rng).compile()
+        if jax.process_count() > 1:
+            from jax._src import distributed
+            distributed.global_state.client.wait_at_barrier(
+                "train_step_compiled", 600_000)
+        new_state, metrics = compiled(state, device_batch, rng)
+        jax.block_until_ready(metrics)
+    return new_state, {k: float(v) for k, v in metrics.items()}
+
+
 def _worker(rank: int, port: str, workdir: str):
     import jax
 
@@ -113,6 +180,18 @@ def _worker(rank: int, port: str, workdir: str):
                                        full[shard.index])
     assert int(restored["step"]) == 3
     assert io.load_meta("mp_state") == {"epoch": 1}
+
+    # -- 5) REAL cross-process TRAIN step -------------------------------
+    # each rank decodes only its loader shard; shard_batch assembles the
+    # global batch; one jitted train step runs across both processes.
+    # Updated params + loss go to a coordinated checkpoint the parent
+    # compares against a single-process run of the same global batch.
+    new_state, losses = _train_step_probe(os.path.join(workdir, "data"),
+                                          num_shards=2, shard_index=rank)
+    assert np.isfinite(losses["total"]), losses
+    io.save("mp_train_step", {"params": new_state.params},
+            meta={"losses": losses})
+    io.wait()
     print(f"RANK{rank}_OK")
 
 
@@ -133,15 +212,20 @@ def test_two_process_distributed(tmp_path):
         env["PYTHONPATH"] = REPO          # drop the axon sitecustomize
         env["JAX_PLATFORMS"] = "cpu"
         env["XLA_FLAGS"] = "--xla_force_host_platform_device_count=4"
-        env.pop("JAX_COMPILATION_CACHE_DIR", None)
+        # share the suite's persistent compile cache (keys include the
+        # device topology, so 2x4-device worker entries don't collide)
+        env["JAX_COMPILATION_CACHE_DIR"] = os.path.join(
+            os.path.dirname(os.path.abspath(__file__)), ".jax_cache")
         procs.append(subprocess.Popen(
             [sys.executable, os.path.abspath(__file__),
              str(rank), port, workdir],
             env=env, stdout=subprocess.PIPE, stderr=subprocess.STDOUT,
             text=True))
-    outs = [p.communicate(timeout=300)[0] for p in procs]
+    outs = [p.communicate(timeout=600)[0] for p in procs]
+    for rank, out in enumerate(outs):        # both, for failure diagnosis
+        print(f"---- rank {rank} output ----\n{out}")
     for rank, (p, out) in enumerate(zip(procs, outs)):
-        assert p.returncode == 0, f"rank {rank} failed:\n{out}"
+        assert p.returncode == 0, f"rank {rank} failed (see printed output)"
         assert f"RANK{rank}_OK" in out, out
 
     # the rank-0 dump must equal a single-process run of the same stub
@@ -163,6 +247,35 @@ def test_two_process_distributed(tmp_path):
                               tuple(d["segmentation"]["size"]),
                               d["segmentation"]["counts"]))
             assert sorted(map(key, mp)) == sorted(map(key, sp))
+
+    # the cross-process train step must equal a single-process run on the
+    # same global batch: same loss dict, same updated params (item: DDP
+    # training correctness by test, not by construction)
+    sp_state, sp_losses = _train_step_probe(os.path.join(workdir, "data"))
+    from instancesegmentation_tpu.train.checkpoints import CheckpointIO
+    io = CheckpointIO(os.path.join(workdir, "ckpt"))
+    mp_losses = io.load_meta("mp_train_step")["losses"]
+    assert set(mp_losses) == set(sp_losses)
+    for k in sp_losses:
+        assert abs(mp_losses[k] - sp_losses[k]) <= 1e-4 + 1e-4 * abs(
+            sp_losses[k]), (k, mp_losses[k], sp_losses[k])
+    mp_params = io.restore_raw("mp_train_step")["params"]
+    import jax
+    sp_map = {jax.tree_util.keystr(p): l for p, l in
+              jax.tree_util.tree_flatten_with_path(sp_state.params)[0]}
+    mp_map = {jax.tree_util.keystr(p): l for p, l in
+              jax.tree_util.tree_flatten_with_path(mp_params)[0]}
+    assert set(sp_map) == set(mp_map)
+    # atol 2e-4 = 2x the probe's lr: the cross-process gradient psum
+    # reduces in a different order than the single-process one, and a
+    # last-ulp grad difference through adam's m/(sqrt(v)+eps) normalizer
+    # can move one update by up to ~2*lr (observed: 2 of 262k elements
+    # of one kernel at 5.4e-5). Everything beyond reduction-order noise
+    # (wrong batch rows, missing psum, desynced rng) shows at 1e-2+.
+    for k, sp_leaf in sp_map.items():
+        np.testing.assert_allclose(np.asarray(mp_map[k]),
+                                   np.asarray(sp_leaf),
+                                   rtol=1e-5, atol=2e-4, err_msg=k)
 
 
 if __name__ == "__main__":

@@ -67,7 +67,7 @@ def main():
     tf = (Augmentation if cfg.augment else BaseTransform)(
         cfg.input_shape, keep_aspect=keep_aspect)
     ds = SegDataset(ann.train_image_path, ann.train_coco, ann.label_map,
-                    transform=tf)
+                    transform=tf, cache_images=cfg.cache_images)
     collate = (YolactCollate(cfg.max_instances, cfg.proto_shape)
                if cfg.net == "yolact" else RcnnCollate(cfg.max_instances))
     loader = Loader(ds, args.batch, collate, num_workers=workers)
