@@ -40,6 +40,8 @@ YOLACT_BASELINE_FPS = 42.5
 MASK_RCNN_BASELINE_FPS = 1000.0 / 195.0
 YOLACT_TRAIN_R1_BASELINE = 203.8      # round-1 self-baseline (BASELINE.md)
 MASK_RCNN_TRAIN_R1_BASELINE = 50.4    # round-1 self-baseline (BASELINE.md)
+BASE800_TRAIN_R4_BASELINE = 66.2      # round-4 one-off: freeze-b4 (800,800)
+                                      # bucket, 60.4 ms/step (PERF_NOTES)
 
 
 def parse_args(argv=None):
@@ -54,7 +56,22 @@ def parse_args(argv=None):
     p.add_argument("--repeats", type=int, default=3,
                    help="timed windows per metric; value = median, "
                         "spread_pct = (max-min)/median")
+    p.add_argument("--set", action="append", default=[], metavar="KEY=VAL",
+                   dest="overrides",
+                   help="config overrides for single-model runs (e.g. "
+                        "--set proto_double=true); ignored for --model all")
     return p.parse_args(argv)
+
+
+def _overrides(args):
+    """--set KEY=VAL pairs -> typed Config kwargs (any Config instance
+    serves as the type template — one dataclass covers both models)."""
+    if not getattr(args, "overrides", None):
+        return {}
+    from train import parse_set_overrides
+
+    from instancesegmentation_tpu.config import get_config
+    return parse_set_overrides(args.overrides, get_config("yolact_base"))
 
 
 def _init_on_cpu(model, shape, mixed_precision: bool):
@@ -100,7 +117,7 @@ def _timed(infer, variables, image, iters, sync, repeats=3):
     return dts
 
 
-def bench_yolact(batch: int, iters: int, repeats: int = 3):
+def bench_yolact(batch: int, iters: int, repeats: int = 3, **over):
     import jax
     import numpy as np
 
@@ -109,7 +126,7 @@ def bench_yolact(batch: int, iters: int, repeats: int = 3):
     from instancesegmentation_tpu.models.yolact.predict import make_infer_fn
     from instancesegmentation_tpu.ops.anchors import yolact_anchors
 
-    cfg = get_config("yolact_base", mixed_precision=True)
+    cfg = get_config("yolact_base", mixed_precision=True, **over)
     model = get_model(cfg, train_mode=False)
     image_h, variables = _init_on_cpu(
         model, (batch,) + tuple(cfg.input_shape) + (3,), cfg.mixed_precision)
@@ -126,7 +143,7 @@ def bench_yolact(batch: int, iters: int, repeats: int = 3):
             _timed(infer, variables, image, iters, sync, repeats)]
 
 
-def bench_mask_rcnn(batch: int, iters: int, repeats: int = 3):
+def bench_mask_rcnn(batch: int, iters: int, repeats: int = 3, **over):
     import jax
     import numpy as np
 
@@ -135,7 +152,7 @@ def bench_mask_rcnn(batch: int, iters: int, repeats: int = 3):
     from instancesegmentation_tpu.models.mask_rcnn.meta import \
         make_mask_rcnn_infer_fn
 
-    cfg = get_config("mask_rcnn_base", mixed_precision=True)
+    cfg = get_config("mask_rcnn_base", mixed_precision=True, **over)
     model = get_model(cfg, train_mode=False)
     image_h, variables = _init_on_cpu(
         model, (batch,) + tuple(cfg.input_shape) + (3,), cfg.mixed_precision)
@@ -211,10 +228,16 @@ def bench_yolact_train(batch: int, iters: int, repeats: int = 3):
     return fps
 
 
-def bench_mask_rcnn_train(batch: int, iters: int, repeats: int = 3):
+def bench_mask_rcnn_train(batch: int, iters: int, repeats: int = 3,
+                          config: str = "mask_rcnn_base",
+                          frozen: bool = False):
     """Full Mask R-CNN train step (RPN + RoI heads, fwd+loss+bwd+fused
     optimizer/EMA), bf16, uint8 batch incl. image-res gt masks — the
-    tools/bench_train_step.py protocol as a standing BENCH metric."""
+    tools/bench_train_step.py protocol as a standing BENCH metric.
+
+    ``config='mask_rcnn_base800', frozen=True`` benches the reference's
+    REAL ~800px operating point (faster_rcnn_framework.py:257,362) at its
+    freeze-phase batch 4 on the square (800,800) bucket."""
     import jax
     import numpy as np
 
@@ -226,7 +249,7 @@ def bench_mask_rcnn_train(batch: int, iters: int, repeats: int = 3):
     from instancesegmentation_tpu.train.steps import make_mask_rcnn_train_step
     from instancesegmentation_tpu.utils.device import pin_to_device
 
-    cfg = get_config("mask_rcnn_base", mixed_precision=True, ema=True)
+    cfg = get_config(config, mixed_precision=True, ema=True)
     model = get_model(cfg, train_mode=True)
     h, w = cfg.input_shape
     g = cfg.max_instances
@@ -247,9 +270,10 @@ def bench_mask_rcnn_train(batch: int, iters: int, repeats: int = 3):
     rng = jax.random.key(0)
     sample = np.zeros((1, h, w, 3), np.float32)
     state = create_train_state(model, cfg, rng, sample, lr=1e-4,
-                               frozen_backbone=False)
-    tx = make_phase_optimizer(cfg, 1e-4, False, state.params)
-    step = jax.jit(make_mask_rcnn_train_step(model, tx, cfg),
+                               frozen_backbone=frozen)
+    tx = make_phase_optimizer(cfg, 1e-4, frozen, state.params)
+    step = jax.jit(make_mask_rcnn_train_step(model, tx, cfg,
+                                             frozen_backbone=frozen),
                    donate_argnums=0)
 
     dev = jax.devices()[0]
@@ -293,13 +317,15 @@ def main():
                 "spread_pct": round(spread, 1)}
 
     if args.model == "yolact":
-        fps = bench_yolact(args.batch, args.iters, args.repeats)
+        fps = bench_yolact(args.batch, args.iters, args.repeats,
+                           **_overrides(args))
         suffix = "" if args.batch == 1 else f"_b{args.batch}"
         print(json.dumps(row(f"yolact_r50_544_infer_fps{suffix}", fps,
                              YOLACT_BASELINE_FPS)))
         return 0
     if args.model == "mask_rcnn":
-        fps = bench_mask_rcnn(args.batch, args.iters, args.repeats)
+        fps = bench_mask_rcnn(args.batch, args.iters, args.repeats,
+                              **_overrides(args))
         suffix = "" if args.batch == 1 else f"_b{args.batch}"
         print(json.dumps(row(f"mask_rcnn_r50_544_infer_fps{suffix}", fps,
                              MASK_RCNN_BASELINE_FPS)))
@@ -313,6 +339,8 @@ def main():
     fps_rcnn8 = bench_mask_rcnn(8, max(args.iters // 8, 13), r)
     fps_train8 = bench_yolact_train(8, max(args.iters // 4, 25), r)
     fps_rtrain4 = bench_mask_rcnn_train(4, max(args.iters // 8, 13), r)
+    fps_b800 = bench_mask_rcnn_train(4, max(args.iters // 8, 13), r,
+                                     config="mask_rcnn_base800", frozen=True)
     out = row("yolact_r50_544_infer_fps", fps_b1, YOLACT_BASELINE_FPS)
     out["extra_metrics"] = [
         row("yolact_r50_544_infer_fps_b16", fps_b16, YOLACT_BASELINE_FPS),
@@ -323,6 +351,8 @@ def main():
             YOLACT_TRAIN_R1_BASELINE),
         row("mask_rcnn_r50_544_train_fps_b4", fps_rtrain4,
             MASK_RCNN_TRAIN_R1_BASELINE),
+        row("mask_rcnn_base800_train_freeze_fps_b4", fps_b800,
+            BASE800_TRAIN_R4_BASELINE),
     ]
     print(json.dumps(out))
     return 0

@@ -123,7 +123,13 @@ def _batched_roi_align(feats, rois, out_size, aligned):
         if isinstance(rois.shape[0], int) and isinstance(r, int) and \
                 rois.shape[0] * r >= auto_total and \
                 _jax.default_backend() == "tpu":
-            backend, min_r = "sorted", 0
+            # keep the per-image min_r floor (default 256): at large
+            # batches (b>=32) the mask head's ~100-roi call clears the
+            # TOTAL gate, but the sorted kernel's level padding makes it
+            # slower at small per-image R (round-3 measurements above) —
+            # only the box head's large-R call should flip (round-4
+            # advisor finding)
+            backend = "sorted"
     if backend == "sorted" and r >= min_r:
         import jax as _jax
         from instancesegmentation_tpu.ops.pallas.roi_align_sorted import \

@@ -77,8 +77,13 @@ def main(argv=None):
     img_path, coco = ((ann.train_image_path, ann.train_coco)
                       if args.split == "train"
                       else (ann.val_image_path, ann.val_coco))
+    # bucketed configs (base800) trained keep-aspect; probe the head in
+    # the same geometry (fit + pad into input_shape) rather than the
+    # square stretch
     ds = SegDataset(img_path, coco, ann.label_map,
-                    transform=BaseTransform(cfg.input_shape))
+                    transform=BaseTransform(
+                        cfg.input_shape,
+                        keep_aspect=bool(cfg.resolution_buckets)))
 
     model = get_model(cfg, train_mode=False)
     variables = load_inference_variables(args.checkpoint)
