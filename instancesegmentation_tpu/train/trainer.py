@@ -45,6 +45,7 @@ from instancesegmentation_tpu.train.steps import (make_mask_rcnn_eval_step,
                                                   make_mask_rcnn_train_step,
                                                   make_yolact_eval_step,
                                                   make_yolact_train_step)
+from instancesegmentation_tpu.utils.device import host_feed_only
 
 log = logging.getLogger("instseg")
 
@@ -363,10 +364,14 @@ class Trainer:
 
         def stage(batch):
             # async H2D: starts the transfer immediately, overlapping the
-            # in-flight step's compute
-            return shard_batch(
-                {k: v for k, v in batch.items() if k != "image_id"},
-                self.mesh)
+            # in-flight step's compute. On the single-chip axon relay the
+            # staged buffer stays host-backed (no overlap to win, one
+            # extra relay RPC per batch) — feed host numpy and let jit
+            # transfer at call time (utils/device.py:host_feed_only)
+            clean = {k: v for k, v in batch.items() if k != "image_id"}
+            if self.mesh.size == 1 and host_feed_only():
+                return clean
+            return shard_batch(clean, self.mesh)
 
         it = iter(loader.epoch(epoch))
         nxt = next(it, None)
@@ -394,8 +399,10 @@ class Trainer:
         for i, batch in enumerate(loader.epoch(0)):
             if self.max_steps_per_epoch and i >= self.max_steps_per_epoch:
                 break
-            device_batch = shard_batch(
-                {k: v for k, v in batch.items() if k != "image_id"}, self.mesh)
+            device_batch = {k: v for k, v in batch.items()
+                            if k != "image_id"}
+            if not (self.mesh.size == 1 and host_feed_only()):
+                device_batch = shard_batch(device_batch, self.mesh)
             losses = self.eval_step(self.state, device_batch, eval_rng)
             loss = float(losses["total"])
             if not np.isfinite(loss):

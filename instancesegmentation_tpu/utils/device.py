@@ -13,8 +13,26 @@ On normal backends the pin is one cheap extra execution at setup.
 
 from __future__ import annotations
 
+import os
+
 import jax
 import jax.numpy as jnp
+
+
+def host_feed_only() -> bool:
+    """True when explicit async ``device_put`` staging should be skipped
+    and host numpy fed straight into the jitted step instead.
+
+    On the tunneled axon relay, ``device_put`` buffers stay host-backed
+    (see module docstring): pre-staging wins no transfer/compute overlap
+    — the bytes re-upload at execution regardless — and each staged
+    ``device_put`` costs an extra relay round-trip per batch. Feeding
+    host numpy and letting jit transfer at call time is the same-cost,
+    one-fewer-RPC path there (it is also how the predictors have always
+    fed, hundreds of live executions per eval). Real TPU backends keep
+    the staging path: there the transfer is genuinely async and sharded
+    placement requires it."""
+    return "axon" in os.environ.get("JAX_PLATFORMS", "")
 
 
 def _refresh(x):

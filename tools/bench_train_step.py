@@ -40,7 +40,7 @@ def make_batch(cfg, batch):
         "is_crowd": np.zeros((batch, g), bool),
     }
     if cfg.net == "yolact":
-        ph, pw = h // 4, w // 4
+        ph, pw = cfg.proto_shape        # input/4, or input/2 (proto_double)
         out["masks"] = (rs.rand(batch, g, ph, pw) > 0.7).astype(np.float32)
     else:
         out["masks"] = (rs.rand(batch, g, h, w) > 0.7).astype(np.uint8)
