@@ -300,3 +300,16 @@ def test_remat_backbone_identical():
         a, b = np.asarray(a), np.asarray(b)
         scale = np.max(np.abs(a)) + 1e-30
         np.testing.assert_allclose(a / scale, b / scale, atol=1e-4)
+
+
+def test_host_feed_only_env_gate(monkeypatch):
+    """host_feed_only keys on the axon relay env (the only backend where
+    device_put buffers stay host-backed — utils/device.py docstring);
+    everywhere else the trainer keeps the staged async-H2D path."""
+    from instancesegmentation_tpu.utils.device import host_feed_only
+    monkeypatch.delenv("JAX_PLATFORMS", raising=False)
+    assert not host_feed_only()
+    monkeypatch.setenv("JAX_PLATFORMS", "cpu")
+    assert not host_feed_only()
+    monkeypatch.setenv("JAX_PLATFORMS", "axon")
+    assert host_feed_only()
