@@ -84,9 +84,17 @@ def multiscale_roi_align(feats, rois, out_size, spatial_scales,
                                           spatial_scales, aligned=aligned)
 
 
-def _batched_roi_align(feats, rois, out_size, aligned):
+def _batched_roi_align(feats, rois, out_size, aligned, allow_xmajor=False):
     """Batched dispatch: returns (roi_feats (B, S', oh, ow, C), perm
-    (B, S') or None, real (B, S') or None).
+    (B, S') or None, real (B, S') or None, xmajor: bool).
+
+    ``allow_xmajor``: the caller's consumer contracts both spatial dims
+    (the box head) and can take the sorted kernel's native (ow, oh) cell
+    order, skipping a ~2 ms/call HBM un-transpose of the feature tensor
+    at b8x1000 rois; when the returned ``xmajor`` is True the features
+    are (B, S', ow, oh, C) and the consumer must swap its kernel axes
+    (model.py:_FlattenDense spatial_swapped). Convolutional consumers
+    (the mask head) must keep the default.
 
     With the 'sorted' backend, roi features come back in LEVEL-SORTED
     slot order (S' = Rpad >= S) and the caller must permute the per-roi
@@ -140,14 +148,15 @@ def _batched_roi_align(feats, rois, out_size, aligned):
         out = multiscale_roi_align_sorted(
             list(feats[:4]), rois, out_size, ROI_SCALES, aligned=aligned,
             rb=int(os.environ.get("INSTSEG_ROI_RB", "16")),
-            interpret=_jax.default_backend() != "tpu")
-        return out.feats, out.perm, out.real
+            interpret=_jax.default_backend() != "tpu",
+            xmajor=allow_xmajor)
+        return out.feats, out.perm, out.real, allow_xmajor
 
     def align_one(f2, f3, f4, f5, rr):
         return multiscale_roi_align((f2, f3, f4, f5), rr, out_size,
                                     ROI_SCALES, aligned=aligned)
     o = jax.vmap(align_one)(feats[0], feats[1], feats[2], feats[3], rois)
-    return o, None, None
+    return o, None, None, False
 
 
 def _permute_side(t, perm, extra_dims=0):
@@ -223,8 +232,9 @@ def make_mask_rcnn_train_fns(model, cfg, train: bool = True):
             jax.random.split(r2, b))
 
         # ---- box head ---------------------------------------------------
-        box_feats, perm, real = _batched_roi_align(
-            feats, sampled.rois, (7, 7), aligned)        # (B, S', 7, 7, C)
+        box_feats, perm, real, xmajor = _batched_roi_align(
+            feats, sampled.rois, (7, 7), aligned,
+            allow_xmajor=True)                           # (B, S', 7, 7, C)
         loss_sampled = sampled
         if perm is not None:
             # permute the small per-roi targets into slot order instead of
@@ -237,7 +247,7 @@ def make_mask_rcnn_train_fns(model, cfg, train: bool = True):
                 valid=_permute_side(sampled.valid, perm) & real)
         s = box_feats.shape[1]
         cls_logits, box_deltas = model.apply(
-            variables, box_feats.reshape(b * s, 7, 7, -1),
+            variables, box_feats.reshape(b * s, 7, 7, -1), xmajor,
             method="box_forward")
         cls_logits = cls_logits.reshape(b, s, -1)
         box_deltas = box_deltas.reshape(b, s, -1, 4)
@@ -262,7 +272,7 @@ def make_mask_rcnn_train_fns(model, cfg, train: bool = True):
         m_rois, m_labels, m_gt, m_valid = jax.vmap(pick_positives)(
             sampled, jax.random.split(r3, b))
 
-        mask_feats, m_perm, m_real = _batched_roi_align(
+        mask_feats, m_perm, m_real, _ = _batched_roi_align(
             feats, m_rois, (14, 14), aligned)
         if m_perm is not None:
             m_rois = _permute_side(m_rois, m_perm, 1)
@@ -312,15 +322,15 @@ def make_mask_rcnn_infer_fn(model, cfg, max_det: int = 100,
             post_nms_top_n=POST_NMS_TOPK_TEST),
             in_axes=(0, 0, None))(deltas, objectness, anchors)
 
-        box_feats, perm, real = _batched_roi_align(
-            feats, props.boxes, (7, 7), aligned)
+        box_feats, perm, real, xmajor = _batched_roi_align(
+            feats, props.boxes, (7, 7), aligned, allow_xmajor=True)
         prop_boxes, prop_valid = props.boxes, props.valid
         if perm is not None:
             prop_boxes = _permute_side(prop_boxes, perm, 1)
             prop_valid = _permute_side(prop_valid, perm) & real
         s = box_feats.shape[1]
         cls_logits, box_deltas = model.apply(
-            variables, box_feats.reshape(b * s, 7, 7, -1),
+            variables, box_feats.reshape(b * s, 7, 7, -1), xmajor,
             method="box_forward")
         cls_logits = cls_logits.reshape(b, s, -1)
         box_deltas = box_deltas.reshape(b, s, -1, 4)
@@ -333,7 +343,7 @@ def make_mask_rcnn_infer_fn(model, cfg, max_det: int = 100,
                                 num_candidates=num_candidates))(
             cls_logits, box_deltas, prop_boxes, prop_valid)
 
-        mask_feats, m_perm, m_real = _batched_roi_align(
+        mask_feats, m_perm, m_real, _ = _batched_roi_align(
             feats, dets.boxes, (14, 14), aligned)
         md = mask_feats.shape[1]
         mask_logits = model.apply(

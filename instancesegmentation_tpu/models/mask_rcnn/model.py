@@ -92,16 +92,26 @@ class _FlattenDense(nn.Module):
     dtype: Any = jnp.float32
 
     @nn.compact
-    def __call__(self, x):
+    def __call__(self, x, spatial_swapped: bool = False):
+        """``spatial_swapped``: the input's trailing dims are (w, h, c)
+        instead of (h, w, c) — the level-sorted RoIAlign kernel's native
+        cell order (ops/pallas/roi_align_sorted.py). The contraction maps
+        them onto the kernel's swapped axes instead of un-transposing the
+        big feature tensor in HBM first (~2 ms/call of pure copies on the
+        b8 infer trace, PERF_NOTES round-5 floor table); the stored param
+        stays the reference (h*w*c, out) layout either way."""
         h, w, c = x.shape[-3:]
+        if spatial_swapped:
+            w, h = h, w
         kernel = self.param("kernel", nn.initializers.lecun_normal(),
                             (h * w * c, self.features), jnp.float32)
         bias = self.param("bias", nn.initializers.zeros,
                           (self.features,), jnp.float32)
+        kdims = (1, 0, 2) if spatial_swapped else (0, 1, 2)
         y = jax.lax.dot_general(
             x.astype(self.dtype),
             kernel.reshape(h, w, c, self.features).astype(self.dtype),
-            (((x.ndim - 3, x.ndim - 2, x.ndim - 1), (0, 1, 2)), ((), ())))
+            (((x.ndim - 3, x.ndim - 2, x.ndim - 1), kdims), ((), ())))
         return y + bias.astype(self.dtype)
 
 
@@ -113,9 +123,9 @@ class TwoMLPHead(nn.Module):
     dtype: Any = jnp.bfloat16
 
     @nn.compact
-    def __call__(self, x):
+    def __call__(self, x, spatial_swapped: bool = False):
         x = nn.relu(_FlattenDense(self.representation_size, dtype=self.dtype,
-                                  name="fc6")(x))
+                                  name="fc6")(x, spatial_swapped))
         x = nn.relu(nn.Dense(self.representation_size, dtype=self.dtype,
                              name="fc7")(x))
         return x
@@ -187,9 +197,12 @@ class MaskRCNN(nn.Module):
     def rpn(self, feats):
         return self.rpn_head(feats)
 
-    def box_forward(self, roi_feats):
-        """roi_feats (R, 7, 7, C) -> (scores (R,K), deltas (R,K,4))."""
-        return self.box_predictor(self.box_head(roi_feats.astype(self.dtype)))
+    def box_forward(self, roi_feats, spatial_swapped: bool = False):
+        """roi_feats (R, 7, 7, C) -> (scores (R,K), deltas (R,K,4)).
+        ``spatial_swapped``: features arrive with (w, h) cell order (the
+        sorted RoIAlign kernel's native layout) — see _FlattenDense."""
+        return self.box_predictor(self.box_head(roi_feats.astype(self.dtype),
+                                                spatial_swapped))
 
     def mask_forward(self, roi_feats):
         """roi_feats (R, 14, 14, C) -> logits (R, 28, 28, K)."""

@@ -544,6 +544,7 @@ _sorted_align.defvjp(_sorted_align_fwd, _sorted_align_bwd)
 
 class SortedAlign(NamedTuple):
     feats: jnp.ndarray        # (B, Rpad, oh, ow, C) bf16, slot order
+                              # ((B, Rpad, ow, oh, C) when xmajor=True)
     perm: jnp.ndarray         # (B, Rpad) original roi index per slot
     real: jnp.ndarray         # (B, Rpad) bool
 
@@ -555,7 +556,8 @@ def multiscale_roi_align_sorted(feats: Sequence[jnp.ndarray],
                                 sampling_ratio: int = 2,
                                 aligned: bool = False,
                                 rb: int = DEFAULT_RB,
-                                interpret: bool = False) -> SortedAlign:
+                                interpret: bool = False,
+                                xmajor: bool = False) -> SortedAlign:
     """Batched MultiScaleRoIAlign, each roi computed once at its level.
 
     feats: [(B, Hl, Wl, C)] P2..P5; rois (B, R, 4) image-coord xyxy.
@@ -563,6 +565,13 @@ def multiscale_roi_align_sorted(feats: Sequence[jnp.ndarray],
     permutation: permute the per-roi side data (labels, boxes, ...) with
     ``jnp.take_along_axis(x, out.perm, axis=1)`` and mask with
     ``out.real`` instead of un-permuting the features.
+
+    ``xmajor=True`` returns the kernel's NATIVE (ow, oh) cell order and
+    skips the (oh, ow) un-transpose — on the b8 544² inference graph the
+    un-transpose is ~2 ms/call of pure HBM relayout (215 MB feature
+    tensor); a consumer that contracts both spatial dims anyway (the box
+    head's _FlattenDense) folds the swap into its matmul operand load
+    for free (PERF_NOTES round-5 floor table).
     """
     spec = make_canvas_spec([f.shape[1:3] for f in feats],
                             feats[0].shape[-1], oh=out_size[0], rb=rb)
@@ -576,6 +585,9 @@ def multiscale_roi_align_sorted(feats: Sequence[jnp.ndarray],
     oh, ow = out_size
     b, rpad = out.shape[0], out.shape[1]
     # kernel emits x-major (ow, oh) cells; un-transpose the small output
-    out = out.reshape(b, rpad, ow, oh, spec.c).swapaxes(2, 3)
+    # unless the caller consumes x-major directly
+    out = out.reshape(b, rpad, ow, oh, spec.c)
+    if not xmajor:
+        out = out.swapaxes(2, 3)
     out = out * srt.real[:, :, None, None, None].astype(out.dtype)
     return SortedAlign(out, srt.perm, srt.real)
