@@ -421,3 +421,46 @@ def test_bucket_assignment_nearest_ratio():
 
     idx = assign_resolution_buckets(_FakeDs(), ((64, 128), (96, 96), (128, 64)))
     assert idx == [0, 1, 2]
+
+
+def test_dataset_layouts_voc_coco_verseg(synth, tmp_path):
+    """get_annotation's four on-disk layouts (annotation/voc.py:38-42,
+    annotation/coco.py:35-44, annotation/verseg.py:33-39, synth shape):
+    each must produce a working Annotation from the reference's directory
+    shapes — previously only 'shape' was ever exercised."""
+    import os
+    import shutil
+
+    from instancesegmentation_tpu.data.datasets import get_annotation
+
+    src_root = os.path.dirname(os.path.dirname(synth.train_image_path))
+    layouts = {
+        "voc": (("VOC2007/JPEGImages", "VOC2007/Annotations/train.json"),
+                ("VOC2012/JPEGImages", "VOC2012/Annotations/val.json")),
+        "coco": (("train2017", "annotations/instances_train2017.json"),
+                 ("val2014", "annotations/instances_val2014.json")),
+        "verseg": (("Train/image", "Train/annotations.json"),
+                   ("Validation/image", "Validation/annotations.json")),
+    }
+    for exp_name, ((ti, tj), (vi, vj)) in layouts.items():
+        root = tmp_path / exp_name
+        for split, img_dir, json_path in (("train", ti, tj), ("val", vi, vj)):
+            dst_img = root / img_dir
+            dst_img.parent.mkdir(parents=True, exist_ok=True)
+            shutil.copytree(os.path.join(src_root, split, "images"), dst_img)
+            dst_json = root / json_path
+            dst_json.parent.mkdir(parents=True, exist_ok=True)
+            shutil.copy(os.path.join(src_root, split, "annotations.json"),
+                        dst_json)
+        ann = get_annotation(exp_name, str(root), list(SHAPE_CLASSES))
+        assert ann.num_classes == len(SHAPE_CLASSES)
+        assert len(ann.label_map) == len(SHAPE_CLASSES)
+        assert len(ann.train_coco.getImgIds()) == 6
+        ds = SegDataset(ann.train_image_path, ann.train_coco, ann.label_map,
+                        transform=BaseTransform((96, 96)))
+        batch = next(iter(Loader(ds, batch_size=2,
+                                 collate=YolactCollate(8, (24, 24)),
+                                 num_workers=1).epoch(0)))
+        assert batch["image"].shape == (2, 96, 96, 3)
+    with pytest.raises(ValueError):
+        get_annotation("nope", str(tmp_path), list(SHAPE_CLASSES))
