@@ -126,7 +126,7 @@ def bench_yolact(batch: int, iters: int, repeats: int = 3, **over):
     from instancesegmentation_tpu.models.yolact.predict import make_infer_fn
     from instancesegmentation_tpu.ops.anchors import yolact_anchors
 
-    cfg = get_config("yolact_base", mixed_precision=True, **over)
+    cfg = get_config("yolact_base", **{"mixed_precision": True, **over})
     model = get_model(cfg, train_mode=False)
     image_h, variables = _init_on_cpu(
         model, (batch,) + tuple(cfg.input_shape) + (3,), cfg.mixed_precision)
@@ -152,7 +152,7 @@ def bench_mask_rcnn(batch: int, iters: int, repeats: int = 3, **over):
     from instancesegmentation_tpu.models.mask_rcnn.meta import \
         make_mask_rcnn_infer_fn
 
-    cfg = get_config("mask_rcnn_base", mixed_precision=True, **over)
+    cfg = get_config("mask_rcnn_base", **{"mixed_precision": True, **over})
     model = get_model(cfg, train_mode=False)
     image_h, variables = _init_on_cpu(
         model, (batch,) + tuple(cfg.input_shape) + (3,), cfg.mixed_precision)

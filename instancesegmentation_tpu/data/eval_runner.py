@@ -103,12 +103,17 @@ def evaluate_predictor(predictor, dataset, label_map, out_dir: str,
     if map_mode in (0, 1):
         mj = MakeJson(label_map)
         local_ids = ids[mh.process_rank()::mh.world_size()]
+        if hasattr(predictor, "reset_pool_stats"):
+            # fresh saturation stats per eval (repeated in-training evals
+            # must not report cumulative counts)
+            predictor.reset_pool_stats()
         if hasattr(predictor, "get_map_out_batch"):
             for i in range(0, len(local_ids), batch_size):
                 chunk = local_ids[i:i + batch_size]
                 images = [dataset.load_image(im_id) for im_id in chunk]
                 padded = images + [images[-1]] * (batch_size - len(images))
-                outs = predictor.get_map_out_batch(padded)[:len(chunk)]
+                outs = predictor.get_map_out_batch(
+                    padded, n_valid=len(chunk))[:len(chunk)]
                 for image_id, (boxes, scores, classes, masks) in zip(chunk,
                                                                      outs):
                     mj.prep_metrics(image_id, boxes, scores, classes, masks)

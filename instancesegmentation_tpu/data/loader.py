@@ -191,6 +191,13 @@ class Loader:
         if not 0 <= shard_index < num_shards:
             raise ValueError(f"shard_index {shard_index} out of range for "
                              f"num_shards {num_shards}")
+        if num_shards > 1 and batch_size % num_shards:
+            # fail loudly at construction: every default-path batch is
+            # full-size (drop_last), so a non-divisible batch_size would
+            # otherwise make _shard_entry skip EVERY batch and the epoch
+            # silently yield nothing (round-5 review finding)
+            raise ValueError(f"global batch_size {batch_size} must divide "
+                             f"evenly across {num_shards} process shards")
         self.num_shards = num_shards
         self.shard_index = shard_index
 

@@ -45,17 +45,27 @@ def _load_native() -> Optional[ctypes.CDLL]:
         if os.path.exists(src):
             import subprocess
             import tempfile
+            import warnings
             tmp = None
             try:
                 fd, tmp = tempfile.mkstemp(suffix=".so",
                                            dir=os.path.dirname(path))
                 os.close(fd)
                 subprocess.run(
-                    ["g++", "-O3", "-fPIC", "-std=c++17", "-shared",
-                     "-o", tmp, src], check=True, timeout=120,
-                    capture_output=True)
+                    [os.environ.get("CXX", "g++"), "-O3", "-fPIC",
+                     "-std=c++17", "-shared", "-o", tmp, src],
+                    check=True, timeout=120, capture_output=True)
                 os.replace(tmp, path)
-            except (OSError, subprocess.SubprocessError):
+            except (OSError, subprocess.SubprocessError) as e:
+                # a silent failure here would reinstate the exact problem
+                # this auto-build exists to fix (quietly running the slow
+                # dense fallback) — surface the compiler error
+                err = getattr(e, "stderr", b"") or b""
+                warnings.warn(
+                    "native RLE codec auto-build failed; falling back to "
+                    f"the dense numpy path (~93x slower segm eval): {e} "
+                    f"{err.decode(errors='replace')[:500]}",
+                    RuntimeWarning)
                 if tmp is not None and os.path.exists(tmp):
                     os.unlink(tmp)
     if os.path.exists(path):

@@ -71,7 +71,7 @@ class MaskRCNNPredictor:
         # pool is reference-equivalent only while every above-threshold
         # candidate fits — make overflow observable, round-4 verdict)
         self.pool_size = int(getattr(cfg, "box_nms_candidates", 1024))
-        self.pool_stats = {"max": 0, "mean": 0.0, "images": 0, "saturated": 0}
+        self.reset_pool_stats()
 
         self.model = get_model(cfg, train_mode=False)
         if variables is None:
@@ -145,10 +145,17 @@ class MaskRCNNPredictor:
         return {"boxes": boxes, "scores": scores,
                 "classes": labels - 1, "masks": masks}
 
+    def reset_pool_stats(self):
+        """Start a fresh saturation measurement (evaluate_predictor calls
+        this per eval so repeated evals don't report cumulative counts)."""
+        self.pool_stats = {"max": 0, "mean": 0.0, "images": 0, "saturated": 0}
+
     def _track_pool(self, n_candidates: np.ndarray):
         """Running max/mean of per-image above-threshold candidate counts
         vs the static pool (a saturated pool silently drops candidates
         pre-NMS, unlike torchvision's dynamic filter, roi_head.py:441-445)."""
+        if not len(n_candidates):
+            return
         st = self.pool_stats
         n = st["images"]
         st["max"] = max(st["max"], int(n_candidates.max()))
@@ -161,12 +168,20 @@ class MaskRCNNPredictor:
     def raw_detect(self, image_rgb: np.ndarray, score_thresh=None):
         return self.raw_detect_batch([image_rgb], score_thresh)[0]
 
-    def raw_detect_batch(self, images_rgb, score_thresh=None):
+    def raw_detect_batch(self, images_rgb, score_thresh=None, n_valid=None):
         """Batched inference: one device dispatch per chunk (the eval
         throughput path). A new batch size triggers one extra compile;
         under buckets, images are grouped by their assigned bucket shape
-        (one dispatch per bucket present in the chunk)."""
+        (one dispatch per bucket present in the chunk).
+
+        ``n_valid``: only rows ``< n_valid`` are real images — eval pads
+        tail chunks by repeating the last image so only one graph shape
+        compiles; the duplicates must not enter the pool-saturation
+        stats (they would inflate image counts and double-count a
+        saturated final image)."""
         thresh = self.confidence if score_thresh is None else score_thresh
+        if n_valid is None:
+            n_valid = len(images_rgb)
         preps = [self._preprocess(im) for im in images_rgb]
         groups = {}
         for i, (x, _) in enumerate(preps):
@@ -176,7 +191,8 @@ class MaskRCNNPredictor:
             batch = np.concatenate([preps[i][0] for i in idxs])
             dets, mask_probs = self._infer(self.variables, batch)
             if dets.n_candidates is not None:
-                self._track_pool(np.asarray(dets.n_candidates))
+                real = np.asarray(idxs) < n_valid
+                self._track_pool(np.asarray(dets.n_candidates)[real])
             dets = {"boxes": np.asarray(dets.boxes),
                     "scores": np.asarray(dets.scores),
                     "labels": np.asarray(dets.labels),
@@ -222,7 +238,8 @@ class MaskRCNNPredictor:
         det = self.raw_detect(image_rgb, score_thresh=0.0)
         return (det["boxes"], det["scores"], det["classes"], det["masks"])
 
-    def get_map_out_batch(self, images_rgb):
-        dets = self.raw_detect_batch(images_rgb, score_thresh=0.0)
+    def get_map_out_batch(self, images_rgb, n_valid=None):
+        dets = self.raw_detect_batch(images_rgb, score_thresh=0.0,
+                                     n_valid=n_valid)
         return [(d["boxes"], d["scores"], d["classes"], d["masks"])
                 for d in dets]

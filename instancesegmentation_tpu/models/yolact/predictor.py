@@ -143,9 +143,12 @@ class YolactPredictor:
         det = self.raw_detect(image_rgb)
         return (det["boxes"], det["scores"], det["classes"], det["masks"])
 
-    def get_map_out_batch(self, images_rgb):
+    def get_map_out_batch(self, images_rgb, n_valid=None):
         """Batched get_map_out: one device dispatch for the whole chunk
-        (the eval loop's throughput path — PERF_NOTES lead #5)."""
+        (the eval loop's throughput path — PERF_NOTES lead #5).
+        ``n_valid`` (eval tail-padding marker) is accepted for API parity
+        with the Mask R-CNN predictor; YOLACT tracks no per-image pool
+        stats, so it has nothing to exclude."""
         dets = self.raw_detect_batch(images_rgb)
         return [(d["boxes"], d["scores"], d["classes"], d["masks"])
                 for d in dets]

@@ -345,6 +345,19 @@ class Trainer:
         self.ckpt.wait()
         return result
 
+    def _feed(self, batch):
+        """One place for the feed-path policy (train AND val loops).
+
+        Default: async staged H2D — `shard_batch` starts the (sharded)
+        transfer immediately, overlapping the in-flight step's compute.
+        On the single-chip axon relay the staged buffer stays host-backed
+        (no overlap to win, one extra relay RPC per batch), so host numpy
+        is fed straight to jit instead (utils/device.py:host_feed_only)."""
+        clean = {k: v for k, v in batch.items() if k != "image_id"}
+        if self.mesh.size == 1 and host_feed_only():
+            return clean
+        return shard_batch(clean, self.mesh)
+
     def _run_train_epoch(self, loader, epoch, rng, lr) -> float:
         total, n = 0.0, 0
         step0 = int(self.state.step)
@@ -362,27 +375,16 @@ class Trainer:
             n += 1
             self.history.step(loss, lr, step_id)
 
-        def stage(batch):
-            # async H2D: starts the transfer immediately, overlapping the
-            # in-flight step's compute. On the single-chip axon relay the
-            # staged buffer stays host-backed (no overlap to win, one
-            # extra relay RPC per batch) — feed host numpy and let jit
-            # transfer at call time (utils/device.py:host_feed_only)
-            clean = {k: v for k, v in batch.items() if k != "image_id"}
-            if self.mesh.size == 1 and host_feed_only():
-                return clean
-            return shard_batch(clean, self.mesh)
-
         it = iter(loader.epoch(epoch))
         nxt = next(it, None)
-        staged = stage(nxt) if nxt is not None else None
+        staged = self._feed(nxt) if nxt is not None else None
         i = 0
         while staged is not None:
             if self.max_steps_per_epoch and i >= self.max_steps_per_epoch:
                 break
             cur = staged
             nxt = next(it, None)
-            staged = stage(nxt) if nxt is not None else None
+            staged = self._feed(nxt) if nxt is not None else None
             # the step folds state.step into the base key ON DEVICE
             self.state, metrics = self.train_step(self.state, cur, rng)
             if pending is not None:
@@ -399,11 +401,7 @@ class Trainer:
         for i, batch in enumerate(loader.epoch(0)):
             if self.max_steps_per_epoch and i >= self.max_steps_per_epoch:
                 break
-            device_batch = {k: v for k, v in batch.items()
-                            if k != "image_id"}
-            if not (self.mesh.size == 1 and host_feed_only()):
-                device_batch = shard_batch(device_batch, self.mesh)
-            losses = self.eval_step(self.state, device_batch, eval_rng)
+            losses = self.eval_step(self.state, self._feed(batch), eval_rng)
             loss = float(losses["total"])
             if not np.isfinite(loss):
                 # the reference only guards the train loop; an unguarded

@@ -31,8 +31,18 @@ def host_feed_only() -> bool:
     one-fewer-RPC path there (it is also how the predictors have always
     fed, hundreds of live executions per eval). Real TPU backends keep
     the staging path: there the transfer is genuinely async and sharded
-    placement requires it."""
-    return "axon" in os.environ.get("JAX_PLATFORMS", "")
+    placement requires it.
+
+    Detection: JAX_PLATFORMS=axon (an explicit request), OR the LIVE
+    backend's platform_version (reads "axon 0.1.0; ..." on the relay) —
+    the sitecustomize in the relay image force-initializes axon
+    regardless of JAX_PLATFORMS, so the env var alone can miss it."""
+    if "axon" in os.environ.get("JAX_PLATFORMS", ""):
+        return True
+    try:
+        return "axon" in jax.devices()[0].client.platform_version.lower()
+    except Exception:
+        return False
 
 
 def _refresh(x):

@@ -231,10 +231,19 @@ def test_loader_process_shards_concat_to_global(synth):
         for k in g:
             np.testing.assert_array_equal(
                 np.concatenate([b0[k], b1[k]]), g[k], err_msg=k)
-    # ragged batches are skipped when sharded (SPMD equal-shape rule)
-    ragged = mk(num_shards=2, shard_index=0)
-    ragged.batch_size = 3            # 3 % 2 != 0 -> every batch ragged
-    assert list(ragged.epoch(0)) == []
+    # a non-divisible global batch fails at construction (a silent
+    # all-batches-skipped epoch would otherwise report loss 0.0)
+    with pytest.raises(ValueError, match="divide"):
+        Loader(ds, batch_size=3, collate=collate, num_workers=1,
+               num_shards=2, shard_index=0)
+    # sampler-provided ragged batches (batch_sampler path) are still
+    # skipped per-batch (SPMD equal-shape rule)
+    class OddSampler:
+        def epoch(self, e):
+            return [list(range(3)), list(range(4))]
+    odd = Loader(ds, batch_size=4, collate=collate, num_workers=1,
+                 batch_sampler=OddSampler(), num_shards=2, shard_index=0)
+    assert len(list(odd.epoch(0))) == 1      # only the even batch survives
 
 
 def test_loader_survives_shared_pool_growth(synth):

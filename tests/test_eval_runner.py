@@ -42,7 +42,9 @@ class _GtOracle:
         self.ds = ds
         self.calls = 0
 
-    def get_map_out_batch(self, images):
+    def get_map_out_batch(self, images, n_valid=None):
+        # n_valid marks the tail-padding boundary (predictor API); the
+        # oracle has no per-image stats to exclude
         self.calls += 1
         outs = []
         for img in images:

@@ -180,9 +180,14 @@ def test_predictor_pool_stats_running_aggregate():
     pred.pool_stats = {"max": 0, "mean": 0.0, "images": 0, "saturated": 0}
     pred._track_pool(np.array([10, 120]))
     pred._track_pool(np.array([50]))
+    pred._track_pool(np.array([], dtype=np.int32))   # padded-only group
     st = pred.pool_stats
     assert st["max"] == 120 and st["images"] == 3 and st["saturated"] == 1
     np.testing.assert_allclose(st["mean"], (10 + 120 + 50) / 3)
+    # evaluate_predictor starts each eval fresh (no cumulative reports)
+    pred.reset_pool_stats()
+    assert pred.pool_stats == {"max": 0, "mean": 0.0, "images": 0,
+                               "saturated": 0}
 
 
 @pytest.mark.slow
